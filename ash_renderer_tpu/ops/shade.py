@@ -1,0 +1,297 @@
+"""Deferred shading: visibility buffer -> shaded RGBA, backend-agnostic.
+
+This is the fragment stage of the pipeline — the TPU-native replacement for
+the reference's fragment shader (``shaders/fragment_shader.glsl:6-8``: output
+= interpolated vertex color) extended with the capabilities the reference
+scaffolded: Blinn-Phong directional lighting and mipmapped bilinear texture
+sampling (``src/renderer/textures.rs`` intent).
+
+Runs identically under numpy (oracle) and jax.numpy (device): every operation
+is a deterministic IEEE f32 / int32 op (see ``specmath``).  The per-pixel
+work is dense and gather-based, which XLA maps well to TPU: attribute
+interpolation is pure VPU arithmetic, texture taps are HBM gathers.
+
+Why deferred: the visibility pass stores only ``(d16, triangle_id)`` per
+pixel, so each pixel's attributes are fetched and shaded exactly once, after
+all depth resolution — no shading work is wasted on occluded fragments, and
+the rasterizer's inner loop stays tiny.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import specmath as sm
+from ..config import RasterConfig
+
+F32 = np.float32
+I32 = np.int32
+
+
+def _take(arr, idx, xp):
+    """Clipped gather along axis 0 (identical OOB behavior on both backends)."""
+    n = arr.shape[0]
+    return arr[xp.clip(idx, 0, n - 1)]
+
+
+def _edges_at_pixels(su_g, px, py, cfg: RasterConfig, xp):
+    """Recompute the three int32 edge values at pixel centers for the gathered
+    per-pixel triangle setup ``su_g`` (dict of (H,W) arrays)."""
+    sx, sy = sm.pixel_sample_coords(px, py, cfg.subpixel_scale)
+    x0, y0 = su_g["x0"], su_g["y0"]
+    x1, y1 = su_g["x1"], su_g["y1"]
+    x2, y2 = su_g["x2"], su_g["y2"]
+    a0, b0, _ = sm.edge_coeffs(x1, y1, x2, y2)
+    a1, b1, _ = sm.edge_coeffs(x2, y2, x0, y0)
+    a2, b2, _ = sm.edge_coeffs(x0, y0, x1, y1)
+    e0 = sm.edge_at(a0, b0, x1, y1, sx, sy)
+    e1 = sm.edge_at(a1, b1, x2, y2, sx, sy)
+    e2 = sm.edge_at(a2, b2, x0, y0, sx, sy)
+    return (e0, e1, e2), (a0, a1, a2)
+
+
+def _normalize3(v, xp):
+    """Deterministic vector normalize: v / sqrt(dot(v, v)); zero-safe."""
+    n2 = sm.dot3(v[..., 0], v[..., 0], v[..., 1], v[..., 1], v[..., 2], v[..., 2])
+    n2 = xp.maximum(n2, F32(1e-30))
+    inv = F32(1.0) / xp.sqrt(n2)
+    return v * inv[..., None], n2
+
+
+def sample_texture(
+    xp, atlas, tex_id, u, v, level
+):
+    """Wrap-addressed bilinear tap at an explicit mip level.
+
+    tex_id/level are per-pixel int32; negative tex_id pixels still compute a
+    (clamped) tap and are masked by the caller.
+    """
+    from ..textures import MAX_LEVELS
+
+    tex_c = xp.clip(tex_id, 0, atlas.level_offset.shape[0] - 1)
+    flat = tex_c * MAX_LEVELS + level
+    off = _take(atlas.level_offset.reshape(-1), flat, xp)
+    w = _take(atlas.level_w.reshape(-1), flat, xp)
+    h = _take(atlas.level_h.reshape(-1), flat, xp)
+
+    ut = u * w.astype(F32) - F32(0.5)
+    vt = v * h.astype(F32) - F32(0.5)
+    iu0 = xp.floor(ut).astype(I32)
+    iv0 = xp.floor(vt).astype(I32)
+    fu = ut - iu0.astype(F32)
+    fv = vt - iv0.astype(F32)
+    iu0w = xp.mod(iu0, w)
+    iu1w = xp.mod(iu0 + 1, w)
+    iv0w = xp.mod(iv0, h)
+    iv1w = xp.mod(iv0 + 1, h)
+
+    def tap(iu, iv):
+        t = _take(atlas.texels, off + iv * w + iu, xp)
+        return t.astype(F32) * F32(1.0 / 255.0)
+
+    c00 = tap(iu0w, iv0w)
+    c10 = tap(iu1w, iv0w)
+    c01 = tap(iu0w, iv1w)
+    c11 = tap(iu1w, iv1w)
+    top = sm.lerp(c00, c10, fu[..., None])
+    bot = sm.lerp(c01, c11, fu[..., None])
+    return sm.lerp(top, bot, fv[..., None])
+
+
+def shade(
+    xp,
+    vis_tri,
+    su,
+    attrs,
+    materials=None,
+    atlas=None,
+    light=None,
+    camera_pos=None,
+    cfg: RasterConfig = None,
+    clear_color=(0.0, 0.0, 0.0, 1.0),
+):
+    """Shade the visibility buffer into an f32 RGBA image (render resolution).
+
+    su: TriangleSetup (numpy or jnp arrays); attrs: (VA, 12) combined
+    attribute table (see oracle/raster_cpu.py layout).
+    """
+    h, w = vis_tri.shape
+    valid = vis_tri >= 0
+    t = xp.clip(vis_tri, 0, su.x0.shape[0] - 1)
+
+    g = {
+        k: _take(getattr(su, k), t, xp)
+        for k in (
+            "x0 y0 x1 y1 x2 y2 inv_area2 iw0 iw1 iw2 v0 v1 v2 mat".split()
+        )
+    }
+
+    px = _iota2(xp, h, w, 1)
+    py = _iota2(xp, h, w, 0)
+    (e0, e1, e2), (a0, a1, a2) = _edges_at_pixels(g, px, py, cfg, xp)
+    l0, l1, l2 = sm.bary_weights(e0, e1, e2, g["inv_area2"], xp)
+    m0, m1, m2 = sm.persp_weights(l0, l1, l2, g["iw0"], g["iw1"], g["iw2"], xp)
+
+    a_v0 = _take(attrs, g["v0"], xp)  # (H, W, 12)
+    a_v1 = _take(attrs, g["v1"], xp)
+    a_v2 = _take(attrs, g["v2"], xp)
+    attr = sm.dot3(m0[..., None], a_v0, m1[..., None], a_v1, m2[..., None], a_v2)
+
+    color = attr[..., 0:4]
+    normal = attr[..., 4:7]
+    uv = attr[..., 7:9]
+    wpos = attr[..., 9:12]
+
+    rgba = color
+    if materials is not None:
+        mat = xp.clip(g["mat"], 0, materials.base_color.shape[0] - 1)
+        base = _take(materials.base_color, mat, xp)
+        rgba = rgba * base
+        if atlas is not None:
+            tex_id = _take(materials.tex_id, mat, xp)
+            level = _mip_level(
+                xp, g, (e0, e1, e2), (m0, m1, m2), a_v0, a_v1, a_v2, atlas,
+                tex_id, cfg,
+            )
+            texel = sample_texture(xp, atlas, tex_id, uv[..., 0], uv[..., 1], level)
+            rgba = xp.where((tex_id >= 0)[..., None], rgba * texel, rgba)
+
+    if light is not None:
+        n, n2 = _normalize3(normal, xp)
+        lit = n2 > F32(1e-12)  # vertices without normals stay unlit
+        ldir, _ = _normalize3(
+            xp.broadcast_to(light.direction, normal.shape), xp
+        )
+        ndotl = xp.maximum(
+            F32(0.0),
+            -sm.dot3(
+                n[..., 0], ldir[..., 0], n[..., 1], ldir[..., 1], n[..., 2],
+                ldir[..., 2],
+            ),
+        )
+        diffuse = light.ambient + ndotl[..., None] * light.color
+        rgb = rgba[..., :3] * diffuse
+        if materials is not None and camera_pos is not None:
+            spec_k = _take(materials.specular, mat, xp)
+            shin = _take(materials.shininess, mat, xp)
+            vdir, _ = _normalize3(camera_pos - wpos, xp)
+            hv, _ = _normalize3(vdir - ldir, xp)
+            ndoth = xp.maximum(
+                F32(0.0),
+                sm.dot3(
+                    n[..., 0], hv[..., 0], n[..., 1], hv[..., 1], n[..., 2],
+                    hv[..., 2],
+                ),
+            )
+            spec = sm.powi(ndoth, shin, 8, xp) * spec_k
+            rgb = rgb + spec[..., None] * light.color
+        rgba = xp.concatenate(
+            [xp.where(lit[..., None], rgb, rgba[..., :3]), rgba[..., 3:4]],
+            axis=-1,
+        )
+
+    clear = xp.asarray(np.asarray(clear_color, dtype=F32))
+    return xp.where(valid[..., None], rgba, clear)
+
+
+def _iota2(xp, h, w, axis):
+    if xp is np:
+        return (
+            np.broadcast_to(np.arange(w, dtype=I32)[None, :], (h, w))
+            if axis == 1
+            else np.broadcast_to(np.arange(h, dtype=I32)[:, None], (h, w))
+        )
+    import jax
+
+    return jax.lax.broadcasted_iota(I32, (h, w), axis)
+
+
+def _mip_level(xp, g, edges, mus, a_v0, a_v1, a_v2, atlas, tex_id, cfg):
+    """Analytic screen-space uv derivatives -> nearest mip level.
+
+    Uses the plane identity: with p_i = lambda_i * iw_i and S = sum p_i,
+    u = (sum p_i u_i) / S, and dp_i/dpx is a per-triangle constant, so
+    du/dpx = (sum dp_i u_i - u * sum dp_i) / S.  The level is
+    floor(log2(max texel-space footprint)) taken from exponent bits
+    (transcendental-free, deterministic).
+    """
+    e0, e1, e2 = edges
+    m0, m1, m2 = mus
+    scale = F32(cfg.subpixel_scale)
+
+    x0, y0 = g["x0"], g["y0"]
+    x1, y1 = g["x1"], g["y1"]
+    x2, y2 = g["x2"], g["y2"]
+    # edge function gradients (per triangle): dE/dpx = A * subpixel_scale,
+    # dE/dpy = B * subpixel_scale
+    a0, b0, _ = sm.edge_coeffs(x1, y1, x2, y2)
+    a1, b1, _ = sm.edge_coeffs(x2, y2, x0, y0)
+    a2, b2, _ = sm.edge_coeffs(x0, y0, x1, y1)
+
+    inv_area = g["inv_area2"]
+    dp = []
+    for (ea, eb), iw in (
+        ((a0, b0), g["iw0"]),
+        ((a1, b1), g["iw1"]),
+        ((a2, b2), g["iw2"]),
+    ):
+        gx = ea.astype(F32) * scale * inv_area * iw
+        gy = eb.astype(F32) * scale * inv_area * iw
+        dp.append((gx, gy))
+
+    p0 = e0.astype(F32) * inv_area * g["iw0"]
+    p1 = e1.astype(F32) * inv_area * g["iw1"]
+    p2 = e2.astype(F32) * inv_area * g["iw2"]
+    s = (p0 + p1) + p2
+    inv_s = F32(1.0) / s
+
+    u0, v0c = a_v0[..., 7], a_v0[..., 8]
+    u1, v1c = a_v1[..., 7], a_v1[..., 8]
+    u2, v2c = a_v2[..., 7], a_v2[..., 8]
+    u = sm.dot3(m0, u0, m1, u1, m2, u2)
+    v = sm.dot3(m0, v0c, m1, v1c, m2, v2c)
+
+    tex_c = xp.clip(tex_id, 0, atlas.level_w.shape[0] - 1)
+    bw = _take(atlas.level_w[:, 0], tex_c, xp).astype(F32)
+    bh = _take(atlas.level_h[:, 0], tex_c, xp).astype(F32)
+    nl = _take(atlas.n_levels, tex_c, xp)
+
+    def footprint2(axis):
+        dsx = sm.dot3(dp[0][axis], F32(1.0), dp[1][axis], F32(1.0), dp[2][axis], F32(1.0))
+        dux = sm.dot3(dp[0][axis], u0, dp[1][axis], u1, dp[2][axis], u2)
+        dvx = sm.dot3(dp[0][axis], v0c, dp[1][axis], v1c, dp[2][axis], v2c)
+        du = (dux - u * dsx) * inv_s * bw
+        dv = (dvx - v * dsx) * inv_s * bh
+        return du * du + dv * dv
+
+    rho2 = xp.maximum(footprint2(0), footprint2(1))
+    rho2 = xp.maximum(rho2, F32(1e-20))
+    # level = floor(log2(sqrt(rho2))) = floor(exponent(rho2) / 2)
+    e2b = sm.float_exponent(rho2, xp)
+    level = e2b >> 1
+    return xp.clip(level, 0, xp.maximum(nl - 1, 0)).astype(I32)
+
+
+def resolve_and_pack(xp, rgba, supersample: int, srgb: bool):
+    """Box-resolve the supersampled image and pack to RGBA8.
+
+    Resolve order is spec'd: ordered accumulation over the ss*ss footprint
+    then multiply by 1/ss^2.
+    """
+    if supersample > 1:
+        h, w = rgba.shape[0] // supersample, rgba.shape[1] // supersample
+        r = rgba.reshape(h, supersample, w, supersample, 4)
+        acc = None
+        for i in range(supersample):
+            for j in range(supersample):
+                term = r[:, i, :, j, :]
+                acc = term if acc is None else acc + term
+        rgba = acc * F32(1.0 / (supersample * supersample))
+    if srgb:
+        lut = xp.asarray(sm.srgb_encode_lut())
+        idx = xp.round(
+            xp.clip(rgba[..., :3], F32(0.0), F32(1.0)) * F32(4095.0)
+        ).astype(I32)
+        rgb = lut[idx]
+        rgba = xp.concatenate([rgb, rgba[..., 3:4]], axis=-1)
+    return sm.pack_unorm8(rgba, xp)
