@@ -1,0 +1,278 @@
+"""Device geometry stage: vertex transform, clipping, snap, cull, setup.
+
+TPU-native replacement for the reference's vertex shader + fixed-function
+primitive assembly (``shaders/vertex_shader.glsl:12-15``: clip = P*V*M*pos;
+``graphics_pipeline_components.rs:69-108``: CCW front, back cull, triangle
+list).  All shapes are static:
+
+* the vertex transform is one batched matmul over all packed vertices (MXU);
+* triangles classify into fast-path (fully inside guard planes), culled, or
+  needs-clip; the expensive Sutherland-Hodgman clipper runs only on a
+  ``clip_budget``-bounded compaction of flagged triangles (static shape),
+  mirroring GPU guard-band clipping where the clip path is rare;
+* clipped fans land in deterministic slots (rank-ordered), bit-identical to
+  the oracle's layout (oracle/raster_cpu.py).
+
+Everything here matches the oracle bit-for-bit: integer snapping/culling is
+exact by construction, float steps use only specmath's deterministic ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import specmath as sm
+from ..config import RasterConfig
+from ..rtypes import TriangleSetup
+
+F32 = np.float32
+I32 = np.int32
+
+ATTR_COLS = 12
+MAX_CLIP_VERTS = 9
+MAX_CLIP_TRIS = MAX_CLIP_VERTS - 2
+# Sutherland-Hodgman intermediate polygon can exceed the final 9 vertices
+# mid-pipeline; 12 slots are safe (3 + 6 planes padded up).
+POLY_SLOTS = 12
+
+
+def transform_vertices(positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats):
+    """Batched vertex stage: clip positions + combined attribute table
+    ([color4, world normal3, uv2, world pos3]).
+
+    model_mats / mvp_mats: (O,4,4) host-composed f32 (oracle shares the same
+    bits).  Per-vertex application uses specmath's fixed mul/add chains, not
+    einsum — MXU accumulation order is platform-dependent and this stage is
+    parity-critical (it feeds the snapper)."""
+    models = model_mats[vert_obj]  # (V,4,4)
+    mvps = mvp_mats[vert_obj]
+    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+    wx, wy, wz, _ = sm.apply_mat4_point(models, px, py, pz)
+    cx, cy, cz, cw = sm.apply_mat4_point(mvps, px, py, pz)
+    clip = jnp.stack([cx, cy, cz, cw], axis=1)
+    nx, ny, nz = sm.apply_mat3_vec(
+        models, normals[:, 0], normals[:, 1], normals[:, 2]
+    )
+    attrs = jnp.concatenate(
+        [
+            colors,
+            jnp.stack([nx, ny, nz], axis=1),
+            uvs,
+            jnp.stack([wx, wy, wz], axis=1),
+        ],
+        axis=1,
+    )
+    return clip, attrs
+
+
+def _plane_dists(c, gx, gy):
+    """(..., 4) clip coords -> (..., 6) plane distances; same order as the
+    oracle: near, far, left, right, top, bottom."""
+    x, y, z, w = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    return jnp.stack(
+        [z, w - z, F32(gx) * w + x, F32(gx) * w - x, F32(gy) * w + y, F32(gy) * w - y],
+        axis=-1,
+    )
+
+
+def _snap_tri(cverts, cfg: RasterConfig):
+    """cverts (..., 3, 4) -> snapped ints + zq + iw, matching oracle emit()."""
+    w = cverts[..., 3]
+    iw_raw = sm.recip_spec(w, jnp)
+    iw = jnp.where(jnp.isfinite(iw_raw), iw_raw, F32(0.0))
+    ndc = cverts[..., :3] * iw[..., None]
+    ndc = jnp.where(jnp.isfinite(ndc), ndc, F32(0.0))
+    xi = sm.snap_coord(
+        ndc[..., 0], cfg.width, cfg.subpixel_scale, cfg.min_coord, cfg.max_coord_x, jnp
+    )
+    yi = sm.snap_coord(
+        ndc[..., 1], cfg.height, cfg.subpixel_scale, cfg.min_coord, cfg.max_coord_y, jnp
+    )
+    zq = sm.quantize_depth(ndc[..., 2], jnp)
+    return xi, yi, zq, iw
+
+
+def _finish_tri(xi, yi, zq, iw, vids, mat, alive):
+    """Orientation cull + winding normalization; returns per-field dict with
+    a validity flag.  xi/yi/zq/iw: (..., 3); vids: (..., 3) i32."""
+    sl = sm.shoelace2(
+        xi[..., 0], yi[..., 0], xi[..., 1], yi[..., 1], xi[..., 2], yi[..., 2]
+    )
+    valid = alive & (sl < 0)
+    # rewind 0,2,1 so area2 > 0
+    def swap(a):
+        return a[..., 0], a[..., 2], a[..., 1]
+
+    x0, x1, x2 = swap(xi)
+    y0, y1, y2 = swap(yi)
+    z0, z1, z2 = swap(zq)
+    i0, i1, i2 = swap(iw)
+    v0, v1, v2 = swap(vids)
+    area2 = jnp.where(valid, -sl, I32(1))
+    return dict(
+        valid=valid,
+        x0=x0, y0=y0, x1=x1, y1=y1, x2=x2, y2=y2,
+        area2=area2,
+        inv_area2=sm.recip_spec(area2.astype(F32), jnp),
+        zq0=z0, zq1=z1, zq2=z2,
+        iw0=i0, iw1=i1, iw2=i2,
+        v0=v0, v1=v1, v2=v2,
+        mat=mat,
+    )
+
+
+def _clip_polygons(cverts, avals, gx, gy):
+    """Vectorized Sutherland-Hodgman over a batch of triangles.
+
+    cverts: (B, 3, 4) clip positions; avals: (B, 3, A) attributes.
+    Returns (B, POLY_SLOTS, 4), (B, POLY_SLOTS, A), counts (B,).
+
+    Per plane, each edge (i, i+1 mod n) emits 0-2 vertices; output positions
+    come from an exclusive cumsum of per-edge emission counts, realized with a
+    one-hot scatter matmul (TPU-friendly: no dynamic scatter).
+    """
+    b = cverts.shape[0]
+    av = jnp.concatenate([cverts, avals], axis=-1)  # (B, 3, 4+A)
+    ch = av.shape[-1]
+    buf = jnp.zeros((b, POLY_SLOTS, ch), dtype=F32)
+    buf = buf.at[:, :3].set(av)
+    count = jnp.full((b,), 3, dtype=I32)
+
+    for plane in range(6):
+        d = _plane_dists(buf[..., :4], gx, gy)[..., plane]  # (B, P)
+        idx = jnp.arange(POLY_SLOTS, dtype=I32)
+        in_poly = idx[None, :] < count[:, None]
+        nxt = jnp.where(idx + 1 >= count[:, None], 0, idx + 1)
+        d_a = d
+        d_b = jnp.take_along_axis(d, nxt, axis=1)
+        a_in = (d_a >= 0) & in_poly
+        crossing = ((d_a >= 0) != (d_b >= 0)) & in_poly
+        emit = a_in.astype(I32) + crossing.astype(I32)  # 0..2 per edge
+        offs = jnp.cumsum(emit, axis=1) - emit  # exclusive cumsum
+        new_count = jnp.where(in_poly[:, 0], offs[:, -1] + emit[:, -1], 0)
+
+        t = sm.div_spec(d_a, d_a - d_b, jnp)
+        v_a = buf
+        v_b = jnp.take_along_axis(buf, nxt[..., None], axis=1)
+        inter = v_a + t[..., None] * (v_b - v_a)
+
+        # scatter: vertex k of the new polygon = sum over edges of one-hot
+        # contributions (each edge writes to offs (if a_in) and offs+crossing
+        # placement (if crossing)).
+        def one_hot_place(pos, mask, vals, acc):
+            oh = (idx[None, None, :] == pos[..., None]) & mask[..., None]
+            return acc + jnp.einsum(
+                "bps,pc->bsc".replace("pc", "bpc"),
+                oh.astype(F32),
+                vals,
+                preferred_element_type=F32,
+            )
+
+        acc = jnp.zeros_like(buf)
+        acc = one_hot_place(offs, a_in, v_a, acc)
+        acc = one_hot_place(offs + a_in.astype(I32), crossing, inter, acc)
+        buf = acc
+        count = new_count
+    return buf[..., :4], buf[..., 4:], count
+
+
+def geometry_device(
+    clip,
+    attrs,
+    tri_v,
+    tri_obj,
+    obj_material,
+    cfg: RasterConfig,
+    clip_budget: int,
+):
+    """Full triangle setup on device; mirrors oracle geometry_oracle.
+
+    Returns (TriangleSetup, combined_attrs, stats) with static shapes
+    S = T + 7*clip_budget rows and VA = V + 9*clip_budget attribute rows.
+    """
+    t_in = tri_v.shape[0]
+    nv_pad = clip.shape[0]
+    gx = 1.0 + 2.0 * cfg.guard_px / cfg.width
+    gy = 1.0 + 2.0 * cfg.guard_px / cfg.height
+
+    vid_ok = tri_v[:, 0] >= 0
+    vid = jnp.clip(tri_v, 0, nv_pad - 1)
+    cv = clip[vid]  # (T,3,4)
+    mat_id = obj_material[jnp.clip(tri_obj, 0, obj_material.shape[0] - 1)]
+
+    d = _plane_dists(cv, gx, gy)  # (T,3,6)
+    out_any = jnp.any(jnp.all(d < 0, axis=1), axis=-1)
+    all_in = jnp.all(d >= 0, axis=(1, 2))
+    fast = vid_ok & all_in
+    needs_clip = vid_ok & ~all_in & ~out_any
+
+    # ---- fast path: direct snap on original triangles
+    xi, yi, zq, iw = _snap_tri(cv, cfg)
+    main = _finish_tri(xi, yi, zq, iw, vid, mat_id, fast)
+
+    # ---- clip path: budgeted compaction of flagged triangles
+    ranks = jnp.cumsum(needs_clip.astype(I32)) - needs_clip.astype(I32)
+    clip_overflow = jnp.sum(needs_clip.astype(I32)) - jnp.minimum(
+        jnp.sum(needs_clip.astype(I32)), clip_budget
+    )
+    sel = jnp.nonzero(needs_clip, size=clip_budget, fill_value=-1)[0]
+    sel_ok = sel >= 0
+    sel_c = jnp.clip(sel, 0, t_in - 1)
+    cvb = cv[sel_c]  # (B,3,4)
+    ab = attrs[vid[sel_c]]  # (B,3,A)
+    matb = mat_id[sel_c]
+
+    poly_v, poly_a, poly_n = _clip_polygons(cvb, ab, gx, gy)
+    # per-polygon vertex slot ids in the extra attribute region
+    vbase = nv_pad + MAX_CLIP_VERTS * jnp.arange(clip_budget, dtype=I32)
+    # iw per polygon vertex (computed once per vertex, as in the oracle)
+    iw_poly_raw = sm.recip_spec(poly_v[..., 3], jnp)
+    iw_poly = jnp.where(jnp.isfinite(iw_poly_raw), iw_poly_raw, F32(0.0))
+
+    # fan triangles j = (0, j+1, j+2), j in [0, MAX_CLIP_TRIS)
+    j_idx = jnp.arange(MAX_CLIP_TRIS, dtype=I32)
+    fan = jnp.stack(
+        [jnp.zeros_like(j_idx), j_idx + 1, j_idx + 2], axis=-1
+    )  # (7,3)
+    fan_alive = (j_idx[None, :] + 2 < poly_n[:, None]) & sel_ok[:, None]
+    fanc = jnp.clip(fan, 0, POLY_SLOTS - 1)
+    fv = poly_v[:, fanc]  # (B,7,3,4)
+    fiw = iw_poly[:, fanc]  # (B,7,3)
+    fvids = vbase[:, None, None] + fanc[None]  # (B,7,3)
+    xi2, yi2, zq2, iw2_raw = _snap_tri(fv, cfg)
+    clipped = _finish_tri(xi2, yi2, zq2, fiw, fvids,
+                          jnp.broadcast_to(matb[:, None], fan_alive.shape),
+                          fan_alive)
+
+    # ---- assemble the static setup buffer
+    def cat(k):
+        flat = clipped[k].reshape(clip_budget * MAX_CLIP_TRIS)
+        return jnp.concatenate([main[k], flat])
+
+    su = TriangleSetup(
+        **{
+            k: cat(k)
+            for k in (
+                "valid x0 y0 x1 y1 x2 y2 area2 inv_area2 "
+                "zq0 zq1 zq2 iw0 iw1 iw2 v0 v1 v2 mat".split()
+            )
+        }
+    )
+
+    # extra attribute rows: polygon vertices in rank slots
+    extra = jnp.where(
+        sel_ok[:, None, None], poly_a[:, :MAX_CLIP_VERTS], F32(0.0)
+    ).reshape(clip_budget * MAX_CLIP_VERTS, ATTR_COLS)
+    combined_attrs = jnp.concatenate([attrs, extra], axis=0)
+
+    stats = {
+        "clip_overflow": clip_overflow,
+        "n_fast": jnp.sum(fast.astype(I32)),
+        "n_clipped": jnp.sum(needs_clip.astype(I32)),
+        "n_valid": jnp.sum(su.valid.astype(I32)),
+    }
+    return su, combined_attrs, stats

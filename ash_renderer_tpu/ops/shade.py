@@ -29,7 +29,9 @@ I32 = np.int32
 
 
 def _take(arr, idx, xp):
-    """Clipped gather along axis 0 (identical OOB behavior on both backends)."""
+    """Clipped gather along axis 0 (identical OOB behavior on both backends).
+    Coerces constant (numpy) tables to the backend so traced indices work."""
+    arr = xp.asarray(arr)
     n = arr.shape[0]
     return arr[xp.clip(idx, 0, n - 1)]
 
@@ -51,10 +53,9 @@ def _edges_at_pixels(su_g, px, py, cfg: RasterConfig, xp):
 
 
 def _normalize3(v, xp):
-    """Deterministic vector normalize: v / sqrt(dot(v, v)); zero-safe."""
+    """Deterministic vector normalize via spec rsqrt; zero-safe."""
     n2 = sm.dot3(v[..., 0], v[..., 0], v[..., 1], v[..., 1], v[..., 2], v[..., 2])
-    n2 = xp.maximum(n2, F32(1e-30))
-    inv = F32(1.0) / xp.sqrt(n2)
+    inv = sm.rsqrt_spec(xp.maximum(n2, F32(1e-30)), xp)
     return v * inv[..., None], n2
 
 
@@ -74,6 +75,10 @@ def sample_texture(
     w = _take(atlas.level_w.reshape(-1), flat, xp)
     h = _take(atlas.level_h.reshape(-1), flat, xp)
 
+    # sanitize: background pixels carry garbage uv (masked later); NaN->int
+    # casts are platform-UB so zero them first
+    u = xp.where(xp.isfinite(u), u, F32(0.0))
+    v = xp.where(xp.isfinite(v), v, F32(0.0))
     ut = u * w.astype(F32) - F32(0.5)
     vt = v * h.astype(F32) - F32(0.5)
     iu0 = xp.floor(ut).astype(I32)
@@ -243,7 +248,7 @@ def _mip_level(xp, g, edges, mus, a_v0, a_v1, a_v2, atlas, tex_id, cfg):
     p1 = e1.astype(F32) * inv_area * g["iw1"]
     p2 = e2.astype(F32) * inv_area * g["iw2"]
     s = (p0 + p1) + p2
-    inv_s = F32(1.0) / s
+    inv_s = sm.recip_spec(s, xp)
 
     u0, v0c = a_v0[..., 7], a_v0[..., 8]
     u1, v1c = a_v1[..., 7], a_v1[..., 8]

@@ -24,6 +24,16 @@ from ..scene import PackedScene
 F32 = np.float32
 I32 = np.int32
 
+
+def compose_mvp(model_mats: np.ndarray, view: np.ndarray, proj: np.ndarray):
+    """Host-side per-object MVP = P @ V @ M in f32 (numpy matmul) — computed
+    once per frame per object (the reference recomputes P*V*M per vertex in
+    its vertex shader, vertex_shader.glsl:14; hoisting it is semantics-
+    preserving up to f32 rounding and is the only sane formulation here).
+    Both oracle and device consume these exact host bits."""
+    vp = (np.asarray(proj, dtype=F32) @ np.asarray(view, dtype=F32)).astype(F32)
+    return np.einsum("ij,ojk->oik", vp, np.asarray(model_mats, F32)).astype(F32)
+
 # Combined per-vertex attribute channel layout (also used by the device path):
 # [0:4] color RGBA, [4:7] world-space normal, [7:9] uv, [9:12] world position.
 ATTR_COLS = 12
@@ -67,7 +77,7 @@ def _clip_polygon(verts: np.ndarray, attrs: np.ndarray, gx: float, gy: float):
                 out_v.append(poly_v[i])
                 out_a.append(poly_a[i])
             if (da >= 0) != (db >= 0):
-                t = da / (da - db)
+                t = sm.div_spec(da, da - db, np)
                 out_v.append(poly_v[i] + t * (poly_v[j] - poly_v[i]))
                 out_a.append(poly_a[i] + t * (poly_a[j] - poly_a[i]))
         poly_v, poly_a = out_v, out_a
@@ -90,22 +100,32 @@ def geometry_oracle(
     deterministic slot assignment).
     """
     nv_pad = len(packed.positions)
-    pos_h = np.concatenate(
-        [packed.positions, np.ones((nv_pad, 1), dtype=F32)], axis=1
-    )
+    # Per-object MVP composed on the host in f32 (shared bits with the device
+    # path); per-vertex application uses the spec's fixed mul/add chains —
+    # matmul/einsum accumulation order is platform-dependent.
+    mvp = compose_mvp(model_mats, view, proj)
     models = model_mats[packed.vert_obj]  # (V,4,4)
-    world = np.einsum("vij,vj->vi", models, pos_h).astype(F32)
-    vp = (proj @ view).astype(F32)
-    clip = world @ vp.T.astype(F32)  # (V,4)
+    mvps = mvp[packed.vert_obj]
+    px, py, pz = (packed.positions[:, i] for i in range(3))
+    wx, wy, wz, _ = sm.apply_mat4_point(models, px, py, pz)
+    cx, cy, cz, cw = sm.apply_mat4_point(mvps, px, py, pz)
+    clip = np.stack([cx, cy, cz, cw], axis=1).astype(F32)
 
     # world-space normals: normal transformed by the model's upper 3x3
     # (uniform-scale assumption; documented — reference has no normals at all)
-    nrm_w = np.einsum(
-        "vij,vj->vi", models[:, :3, :3], packed.normals
-    ).astype(F32)
+    nx, ny, nz = sm.apply_mat3_vec(
+        models, packed.normals[:, 0], packed.normals[:, 1], packed.normals[:, 2]
+    )
+    nrm_w = np.stack([nx, ny, nz], axis=1).astype(F32)
 
     base_attrs = np.concatenate(
-        [packed.colors, nrm_w, packed.uvs, world[:, :3]], axis=1
+        [
+            packed.colors,
+            nrm_w,
+            packed.uvs,
+            np.stack([wx, wy, wz], axis=1).astype(F32),
+        ],
+        axis=1,
     ).astype(F32)
     extra_attrs = np.zeros((MAX_CLIP_VERTS * clip_budget, ATTR_COLS), dtype=F32)
 
@@ -132,7 +152,8 @@ def geometry_oracle(
     def emit(row, cverts, vids, iws, mat_id):
         """Snap one post-clip triangle and store its setup at `row`."""
         w = cverts[:, 3]
-        iw = np.where(np.isfinite(1.0 / w), (F32(1.0) / w).astype(F32), F32(0.0))
+        iw_raw = sm.recip_spec(w.astype(F32), np)
+        iw = np.where(np.isfinite(iw_raw), iw_raw, F32(0.0))
         ndc = cverts[:, :3] * iw[:, None]
         ndc = np.where(np.isfinite(ndc), ndc, F32(0.0)).astype(F32)
         xi = sm.snap_coord(
@@ -154,7 +175,7 @@ def geometry_oracle(
         su.x1[row], su.y1[row] = xi[1], yi[1]
         su.x2[row], su.y2[row] = xi[2], yi[2]
         su.area2[row] = -sl
-        su.inv_area2[row] = F32(1.0) / F32(-sl)
+        su.inv_area2[row] = sm.recip_spec(F32(-sl), np)
         su.zq0[row], su.zq1[row], su.zq2[row] = zq
         su.iw0[row], su.iw1[row], su.iw2[row] = iws
         su.v0[row], su.v1[row], su.v2[row] = vids
@@ -185,9 +206,8 @@ def geometry_oracle(
             extra_attrs[vbase - nv_pad + k] = a
         k = len(pv)
         pv = np.stack(pv).astype(F32)
-        iw_all = np.where(
-            np.isfinite(1.0 / pv[:, 3]), (F32(1.0) / pv[:, 3]).astype(F32), F32(0.0)
-        )
+        iw_all_raw = sm.recip_spec(pv[:, 3], np)
+        iw_all = np.where(np.isfinite(iw_all_raw), iw_all_raw, F32(0.0))
         for j in range(k - 2):
             row = t_in + MAX_CLIP_TRIS * clip_rank + j
             tri_idx = [0, j + 1, j + 2]
@@ -245,9 +265,8 @@ def visibility_oracle(
         )
         if not cov.any():
             continue
-        l0, l1, l2 = sm.bary_weights(e0, e1, e2, su.inv_area2[t], np)
         d16 = sm.interp_depth16(
-            l0, l1, l2, su.zq0[t], su.zq1[t], su.zq2[t], np
+            e0, e1, e2, su.inv_area2[t], su.zq0[t], su.zq1[t], su.zq2[t], np
         )
         sub_d = vis_d[pymin : pymax + 1, pxmin : pxmax + 1]
         sub_t = vis_t[pymin : pymax + 1, pxmin : pxmax + 1]

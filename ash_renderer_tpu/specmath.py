@@ -95,14 +95,47 @@ def pixel_sample_coords(px, py, subpixel_scale):
 
 
 # ---------------------------------------------------------------------------
+# Vertex transform
+# ---------------------------------------------------------------------------
+
+def apply_mat4_point(m, x, y, z):
+    """Transform a point (w=1) by a row-major 4x4 with the spec's fixed
+    association per output component: ((m0*x + m1*y) + (m2*z + m3)).
+
+    Replaces matmul/einsum in parity-critical paths: MXU/BLAS accumulation
+    orders are platform-dependent, explicit mul/add chains are not.
+    Returns (cx, cy, cz, cw); m indexable as m[..., row, col] with leading
+    dims broadcastable against x/y/z.
+    """
+
+    def row(r):
+        return (m[..., r, 0] * x + m[..., r, 1] * y) + (
+            m[..., r, 2] * z + m[..., r, 3]
+        )
+
+    return row(0), row(1), row(2), row(3)
+
+
+def apply_mat3_vec(m, x, y, z):
+    """Transform a direction by the upper 3x3: (m0*x + m1*y) + m2*z."""
+
+    def row(r):
+        return (m[..., r, 0] * x + m[..., r, 1] * y) + m[..., r, 2] * z
+
+    return row(0), row(1), row(2)
+
+
+# ---------------------------------------------------------------------------
 # Snapping
 # ---------------------------------------------------------------------------
 
 def snap_coord(ndc, size_px, subpixel_scale, min_c, max_c, xp):
     """NDC in [-1,1] -> snapped int32 subpixel coordinate, clamped to the
-    guard rect.  Formula order is part of the spec:
-    round(((ndc * 0.5) + 0.5) * (size_px * subpixel_scale))."""
-    s = (ndc * F32(0.5) + F32(0.5)) * F32(size_px * subpixel_scale)
+    guard rect.  Spec formula: round(ndc * half + half) with the exact f32
+    constant half = size_px * subpixel_scale / 2 (pre-distributed so XLA's
+    constant-reassociation rules have nothing to rewrite)."""
+    half = F32(F32(size_px * subpixel_scale) * F32(0.5))
+    s = ndc * half + half
     return xp.clip(xp.round(s), min_c, max_c).astype(I32)
 
 
@@ -132,10 +165,19 @@ def bary_weights(e0, e1, e2, inv_area2, xp):
     )
 
 
-def interp_depth16(l0, l1, l2, zq0, zq1, zq2, xp):
-    """f32 barycentric interpolation of 16-bit vertex depths -> int32 d16."""
-    d = dot3(l0, zq0.astype(F32), l1, zq1.astype(F32), l2, zq2.astype(F32))
-    return xp.clip(xp.round(d), 0, DEPTH_MAX).astype(I32)
+def interp_depth16(e0, e1, e2, inv_area2, zq0, zq1, zq2, xp):
+    """f32 barycentric interpolation of 16-bit vertex depths -> int32 d16.
+
+    Structured as (sum e_i * z_i) * inv_area2 — a single shared factor applied
+    AFTER the sum — so XLA's algebraic simplifier (which rewrites
+    ``a*c + b*c -> (a+b)*c``, changing rounding) sees no factorable pattern.
+    """
+    num = dot3(
+        e0.astype(F32), zq0.astype(F32),
+        e1.astype(F32), zq1.astype(F32),
+        e2.astype(F32), zq2.astype(F32),
+    )
+    return xp.clip(xp.round(num * inv_area2), 0, DEPTH_MAX).astype(I32)
 
 
 def persp_weights(l0, l1, l2, iw0, iw1, iw2, xp):
@@ -145,7 +187,7 @@ def persp_weights(l0, l1, l2, iw0, iw1, iw2, xp):
     p1 = l1 * iw1
     p2 = l2 * iw2
     s = (p0 + p1) + p2
-    inv = F32(1.0) / s
+    inv = recip_spec(s, xp)
     return p0 * inv, p1 * inv, p2 * inv
 
 
@@ -177,6 +219,58 @@ def pack_unorm8(c, xp):
 # ---------------------------------------------------------------------------
 # Bit-exact helpers
 # ---------------------------------------------------------------------------
+#
+# TPU hardware division / sqrt are approximate (reciprocal-unit based) and do
+# NOT round identically to IEEE numpy (measured: ~35% of samples differ by
+# 1 ulp), while mul/add/sub/round/int-conversions are bit-exact and XLA:TPU
+# performs no FMA contraction (measured: 0 mismatches on a*b+c chains).  So
+# the spec defines its own division and rsqrt from exact primitives only: a
+# bit-trick seed plus Newton-Raphson refinements.  Deterministic on every
+# backend, accurate to ~2 ulp, and competitive with the VPU's multi-cycle
+# divide.
+
+
+def _bitcast_i32(x, xp):
+    if xp is np:
+        return np.ascontiguousarray(np.asarray(x, dtype=F32)).view(np.int32)
+    import jax
+
+    return jax.lax.bitcast_convert_type(x, np.int32)
+
+
+def _bitcast_f32(x, xp):
+    if xp is np:
+        return np.ascontiguousarray(np.asarray(x, dtype=I32)).view(F32)
+    import jax
+
+    return jax.lax.bitcast_convert_type(x, F32)
+
+
+def recip_spec(x, xp):
+    """Deterministic ~2-ulp reciprocal of finite nonzero x (any sign)."""
+    bits = _bitcast_i32(x, xp)
+    sign = bits & I32(-2147483648)
+    mag = bits & I32(0x7FFFFFFF)
+    r = _bitcast_f32(I32(0x7EF311C3) - mag, xp)
+    ax = _bitcast_f32(mag, xp)
+    for _ in range(3):
+        r = r * (F32(2.0) - ax * r)
+    return _bitcast_f32(_bitcast_i32(r, xp) ^ sign, xp)
+
+
+def div_spec(a, b, xp):
+    """The spec's division: a * recip_spec(b)."""
+    return a * recip_spec(b, xp)
+
+
+def rsqrt_spec(x, xp):
+    """Deterministic ~2-ulp reciprocal square root of positive x."""
+    bits = _bitcast_i32(x, xp)
+    r = _bitcast_f32(I32(0x5F375A86) - (bits >> 1), xp)
+    for _ in range(3):
+        r = r * (F32(1.5) - F32(0.5) * x * r * r)
+    return r
+
 
 def lerp(a, b, t):
     """The spec's linear interpolation: a + (b - a) * t."""
@@ -195,9 +289,21 @@ def float_exponent(x, xp):
     return ((bits >> 23) & 0xFF) - 127
 
 
+FLT_MIN_NORMAL = F32(1.1754944e-38)
+
+
+def flush_subnormal(v, xp):
+    """Map subnormals to 0: XLA backends flush-to-zero, numpy does not, so
+    the spec defines all sub-FLT_MIN magnitudes as exactly 0."""
+    return xp.where(xp.abs(v) < FLT_MIN_NORMAL, F32(0.0), v)
+
+
 def powi(x, e, max_bits, xp):
-    """x ** e for a per-element non-negative integer exponent e < 2**max_bits,
-    by square-and-multiply with a fixed op sequence (deterministic)."""
+    """x ** e for x in [0, 1] and a per-element non-negative integer exponent
+    e < 2**max_bits, by square-and-multiply with a fixed op sequence.
+    Underflowing results are flushed to 0 (see flush_subnormal); with x <= 1
+    every intermediate shrinks monotonically so the final flush canonicalizes
+    both backends."""
     result = xp.ones_like(x)
     base = x
     for bit in range(max_bits):
@@ -205,4 +311,4 @@ def powi(x, e, max_bits, xp):
         result = xp.where(take == 1, result * base, result)
         if bit + 1 < max_bits:
             base = base * base
-    return result
+    return flush_subnormal(result, xp)
