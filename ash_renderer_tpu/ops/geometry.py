@@ -113,7 +113,7 @@ def _finish_tri(xi, yi, zq, iw, vids, mat, alive):
     i0, i1, i2 = swap(iw)
     v0, v1, v2 = swap(vids)
     area2 = jnp.where(valid, -sl, I32(1))
-    return dict(
+    out = dict(
         valid=valid,
         x0=x0, y0=y0, x1=x1, y1=y1, x2=x2, y2=y2,
         area2=area2,
@@ -123,6 +123,12 @@ def _finish_tri(xi, yi, zq, iw, vids, mat, alive):
         v0=v0, v1=v1, v2=v2,
         mat=mat,
     )
+    # zero every field of invalid rows: matches the oracle's zero-initialized
+    # buffer bit-for-bit and makes downstream masking trivial
+    for k, v in out.items():
+        if k != "valid":
+            out[k] = jnp.where(valid, v, v.dtype.type(0))
+    return out
 
 
 def _clip_polygons(cverts, avals, gx, gy):
@@ -159,17 +165,18 @@ def _clip_polygons(cverts, avals, gx, gy):
         v_a = buf
         v_b = jnp.take_along_axis(buf, nxt[..., None], axis=1)
         inter = v_a + t[..., None] * (v_b - v_a)
+        # sanitize: a single non-finite value would poison the one-hot
+        # accumulation below (inf * 0 = NaN)
+        inter = jnp.where(jnp.isfinite(inter), inter, F32(0.0))
 
-        # scatter: vertex k of the new polygon = sum over edges of one-hot
-        # contributions (each edge writes to offs (if a_in) and offs+crossing
-        # placement (if crossing)).
+        # Scatter each edge's 0-2 emitted vertices to their cumsum positions.
+        # Emission positions are unique, so the one-hot contraction has at
+        # most one nonzero term per output: exact on every backend (adding
+        # zeros never rounds), and MXU-friendly.
         def one_hot_place(pos, mask, vals, acc):
             oh = (idx[None, None, :] == pos[..., None]) & mask[..., None]
             return acc + jnp.einsum(
-                "bps,pc->bsc".replace("pc", "bpc"),
-                oh.astype(F32),
-                vals,
-                preferred_element_type=F32,
+                "bps,bpc->bsc", oh.astype(F32), vals, preferred_element_type=F32
             )
 
         acc = jnp.zeros_like(buf)

@@ -232,7 +232,8 @@ def pack_unorm8(c, xp):
 
 def _bitcast_i32(x, xp):
     if xp is np:
-        return np.ascontiguousarray(np.asarray(x, dtype=F32)).view(np.int32)
+        a = np.ascontiguousarray(np.asarray(x, dtype=F32))
+        return a.view(np.int32).reshape(np.shape(x))
     import jax
 
     return jax.lax.bitcast_convert_type(x, np.int32)
@@ -240,7 +241,8 @@ def _bitcast_i32(x, xp):
 
 def _bitcast_f32(x, xp):
     if xp is np:
-        return np.ascontiguousarray(np.asarray(x, dtype=I32)).view(F32)
+        a = np.ascontiguousarray(np.asarray(x, dtype=I32))
+        return a.view(F32).reshape(np.shape(x))
     import jax
 
     return jax.lax.bitcast_convert_type(x, F32)
