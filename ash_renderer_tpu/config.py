@@ -129,8 +129,14 @@ def derive_raster_config(
     guard_px: int = 32,
     tri_block: int = 8,
 ) -> RasterConfig:
-    """Pick the largest subpixel precision that keeps int32 edge functions safe."""
-    extent_px = max(width, height) + 2 * guard_px
+    """Pick the largest subpixel precision that keeps int32 edge functions safe.
+
+    The extent bound covers the tile-padded framebuffer (edge tiles extend
+    past the screen, and the raster kernel evaluates edge functions at those
+    samples too)."""
+    pad_w = -(-width // tile_w) * tile_w
+    pad_h = -(-height // tile_h) * tile_h
+    extent_px = max(pad_w, pad_h, width, height) + 2 * guard_px
     subpixel_bits = 4
     while subpixel_bits > 0 and extent_px * (1 << subpixel_bits) > _MAX_EXTENT_SUBPIX:
         subpixel_bits -= 1
