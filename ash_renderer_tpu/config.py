@@ -86,7 +86,7 @@ class RasterConfig:
     tile_h: int
     tile_w: int
     # Triangles processed per block in the visibility kernel.
-    tri_block: int = 8
+    tri_block: int = 128
 
     @property
     def subpixel_scale(self) -> int:
@@ -127,7 +127,7 @@ def derive_raster_config(
     tile_h: int = 8,
     tile_w: int = 128,
     guard_px: int = 32,
-    tri_block: int = 8,
+    tri_block: int = 128,
 ) -> RasterConfig:
     """Pick the largest subpixel precision that keeps int32 edge functions safe.
 

@@ -19,11 +19,13 @@ Pipeline (all static shapes, pure XLA):
    tile-corner sample, fill-rule bias bits, vertex depths, 1/area — packed
    into a (16, P) int32 record so the kernel does zero geometry setup.
 
-Record layout (rows of the (16, P) array):
+Record layout — int32 array (16, P):
   0:A0 1:B0 2:A1 3:B1 4:A2 5:B2  — edge increments (per subpixel step)
   6:E0c 7:E1c 8:E2c              — edge values at tile-corner pixel sample
   9:zq0 10:zq1 11:zq2            — D16 vertex depths
-  12:inv_area2 (f32 bits)  13:tri_id  14:bias bits (b0|b1<<1|b2<<2)  15:pad
+  12:tri_id  13:bias bits (b0|b1<<1|b2<<2)  14-15:pad
+f32 array (F32_ROWS, P): 0:inv_area2 (separate array: Mosaic has no scalar
+bitcast, so float record fields get their own SMEM stream).
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ F32 = np.float32
 I32 = np.int32
 
 RECORD_ROWS = 16
+F32_ROWS = 1
 
 
 def bin_triangles(su: TriangleSetup, cfg: RasterConfig, max_pairs: int):
@@ -92,12 +95,14 @@ def bin_triangles(su: TriangleSetup, cfg: RasterConfig, max_pairs: int):
     tile_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(I32)
     tile_count = tile_end - tile_start
 
-    records = _pair_records(su, tri_sorted, tile_sorted, cfg)
-    # pad so the kernel's fixed-size tail DMA never reads out of bounds
-    pad = cfg.tri_block * ((max_pairs + cfg.tri_block - 1) // cfg.tri_block + 1) - max_pairs
-    records = jnp.pad(records, ((0, 0), (0, pad)))
+    rec_i, rec_f = _pair_records(su, tri_sorted, tile_sorted, cfg)
+    # pad so the kernel's fixed-size aligned-window DMA never reads OOB:
+    # worst window start is round_down(max_pairs) and reads tri_block + 128
+    pad = cfg.tri_block + 256
+    rec_i = jnp.pad(rec_i, ((0, 0), (0, pad)))
+    rec_f = jnp.pad(rec_f, ((0, 0), (0, pad)))
     stats = {"pairs_total": total, "pairs_overflow": overflow}
-    return records, tile_start, tile_count, stats
+    return rec_i, rec_f, tile_start, tile_count, stats
 
 
 def _pair_records(su: TriangleSetup, tri_sorted, tile_sorted, cfg: RasterConfig):
@@ -128,14 +133,16 @@ def _pair_records(su: TriangleSetup, tri_sorted, tile_sorted, cfg: RasterConfig)
     bias = (
         tl0.astype(I32) | (tl1.astype(I32) << 1) | (tl2.astype(I32) << 2)
     )
-    inv_bits = sm._bitcast_i32(g["inv_area2"], jnp)
     zero = jnp.zeros_like(a0)
 
     rows = [
         a0, b0, a1, b1, a2, b2,
         e0c, e1c, e2c,
         g["zq0"], g["zq1"], g["zq2"],
-        inv_bits, jnp.where(live, tri_sorted, -1), bias, zero,
+        jnp.where(live, tri_sorted, -1), bias, zero, zero,
     ]
-    rec = jnp.stack(rows, axis=0).astype(I32)
-    return jnp.where(live[None, :], rec, 0)
+    rec_i = jnp.where(
+        live[None, :], jnp.stack(rows, axis=0).astype(I32), 0
+    )
+    rec_f = jnp.where(live, g["inv_area2"], F32(0.0))[None, :]
+    return rec_i, rec_f

@@ -170,14 +170,18 @@ def _clip_polygons(cverts, avals, gx, gy):
         inter = jnp.where(jnp.isfinite(inter), inter, F32(0.0))
 
         # Scatter each edge's 0-2 emitted vertices to their cumsum positions.
-        # Emission positions are unique, so the one-hot contraction has at
-        # most one nonzero term per output: exact on every backend (adding
-        # zeros never rounds), and MXU-friendly.
+        # Emission positions are unique, so at most one source contributes per
+        # output slot; an explicit select-accumulate over the (small, static)
+        # source axis keeps this on the VPU and bit-exact (an MXU one-hot
+        # matmul would route f32 values through bf16 multi-pass emulation,
+        # corrupting low mantissa bits).
         def one_hot_place(pos, mask, vals, acc):
             oh = (idx[None, None, :] == pos[..., None]) & mask[..., None]
-            return acc + jnp.einsum(
-                "bps,bpc->bsc", oh.astype(F32), vals, preferred_element_type=F32
-            )
+            for p in range(POLY_SLOTS):
+                acc = acc + jnp.where(
+                    oh[:, p, :, None], vals[:, p : p + 1, :], F32(0.0)
+                )
+            return acc
 
         acc = jnp.zeros_like(buf)
         acc = one_hot_place(offs, a_in, v_a, acc)

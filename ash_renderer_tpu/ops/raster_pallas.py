@@ -34,17 +34,20 @@ from ..config import RasterConfig
 F32 = np.float32
 I32 = np.int32
 
-from .binning import RECORD_ROWS
+from .binning import F32_ROWS, RECORD_ROWS
 
 
 def _kernel(
     start_ref,
     count_ref,
     rec_hbm,
+    recf_hbm,
     vis_d_ref,
     vis_t_ref,
     scratch,
+    scratch_f,
     sems,
+    sems_f,
     *,
     cfg: RasterConfig,
 ):
@@ -52,6 +55,7 @@ def _kernel(
     start = start_ref[tile]
     count = count_ref[tile]
     tb = cfg.tri_block
+    win = tb + 128  # 128-aligned DMA window covering [start+b*tb, +tb)
     ss = cfg.subpixel_scale
 
     vis_d_ref[:] = jnp.full((cfg.tile_h, cfg.tile_w), sm.DEPTH_MAX, dtype=I32)
@@ -63,16 +67,32 @@ def _kernel(
 
     nblocks = pl.cdiv(count, tb)
 
+    # HBM lane slices must be 128-aligned in offset and size: DMA an aligned
+    # window around the block and index with the in-window offset.
+    def aligned_base(b):
+        base = start + b * tb
+        return (base // 128) * 128, base - (base // 128) * 128
+
     def dma(slot, b):
+        ab, _ = aligned_base(b)
         return pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(start + b * tb, tb)],
+            rec_hbm.at[:, pl.ds(ab, win)],
             scratch.at[slot],
             sems.at[slot],
+        )
+
+    def dma_f(slot, b):
+        ab, _ = aligned_base(b)
+        return pltpu.make_async_copy(
+            recf_hbm.at[:, pl.ds(ab, win)],
+            scratch_f.at[slot],
+            sems_f.at[slot],
         )
 
     @pl.when(nblocks > 0)
     def _():
         dma(0, 0).start()
+        dma_f(0, 0).start()
 
         def block_body(b, _):
             slot = b % 2
@@ -80,28 +100,32 @@ def _kernel(
             @pl.when(b + 1 < nblocks)
             def _():
                 dma((b + 1) % 2, b + 1).start()
+                dma_f((b + 1) % 2, b + 1).start()
 
             dma(slot, b).wait()
-            data = scratch[slot]  # (16, tb) i32 in VMEM
+            dma_f(slot, b).wait()
+            _, jofs = aligned_base(b)
 
-            def tri_body(j, _):
-                @pl.when(j < count - b * tb)
+            def tri_body(jj, _):
+                @pl.when(jj < count - b * tb)
                 def _():
-                    a0 = data[0, j]
-                    b0 = data[1, j]
-                    a1 = data[2, j]
-                    b1 = data[3, j]
-                    a2 = data[4, j]
-                    b2 = data[5, j]
-                    e0c = data[6, j]
-                    e1c = data[7, j]
-                    e2c = data[8, j]
-                    zq0 = data[9, j]
-                    zq1 = data[10, j]
-                    zq2 = data[11, j]
-                    inv_area = sm._bitcast_f32(data[12, j], jnp)
-                    tri_id = data[13, j]
-                    bias = data[14, j]
+                    j = jofs + jj
+                    # per-triangle record scalars, read one by one from SMEM
+                    a0 = scratch[slot, 0, j]
+                    b0 = scratch[slot, 1, j]
+                    a1 = scratch[slot, 2, j]
+                    b1 = scratch[slot, 3, j]
+                    a2 = scratch[slot, 4, j]
+                    b2 = scratch[slot, 5, j]
+                    e0c = scratch[slot, 6, j]
+                    e1c = scratch[slot, 7, j]
+                    e2c = scratch[slot, 8, j]
+                    zq0 = scratch[slot, 9, j]
+                    zq1 = scratch[slot, 10, j]
+                    zq2 = scratch[slot, 11, j]
+                    inv_area = scratch_f[slot, 0, j]
+                    tri_id = scratch[slot, 12, j]
+                    bias = scratch[slot, 13, j]
 
                     e0 = (e0c + a0 * col_s) + b0 * row_s
                     e1 = (e1c + a1 * col_s) + b1 * row_s
@@ -132,10 +156,11 @@ def _kernel(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def rasterize_visibility(
-    records, tile_start, tile_count, cfg: RasterConfig, interpret: bool = False
+    records_i, records_f, tile_start, tile_count, cfg: RasterConfig,
+    interpret: bool = False
 ):
-    """records: (16, P_pad) i32; returns (vis_d16, vis_tri) cropped to
-    (height, width)."""
+    """records_i: (16, P_pad) i32, records_f: (F32_ROWS, P_pad) f32; returns
+    (vis_d16, vis_tri) cropped to (height, width)."""
     grid = (cfg.n_tiles,)
     out_shape = (
         jax.ShapeDtypeStruct(
@@ -154,10 +179,17 @@ def rasterize_visibility(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=(block, block),
         scratch_shapes=[
-            pltpu.VMEM((2, RECORD_ROWS, cfg.tri_block), I32),
+            # SMEM: per-triangle record scalars are read with dynamic indices,
+            # which only scalar memory supports on TPU
+            pltpu.SMEM((2, RECORD_ROWS, cfg.tri_block + 128), I32),
+            pltpu.SMEM((2, F32_ROWS, cfg.tri_block + 128), F32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -166,5 +198,5 @@ def rasterize_visibility(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_start, tile_count, records)
+    )(tile_start, tile_count, records_i, records_f)
     return vis_d[: cfg.height, : cfg.width], vis_t[: cfg.height, : cfg.width]

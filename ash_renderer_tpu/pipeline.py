@@ -69,11 +69,11 @@ def render_frame(
     su, attrs_full, gstats = geometry.geometry_device(
         clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget
     )
-    records, tile_start, tile_count, bstats = binning.bin_triangles(
+    rec_i, rec_f, tile_start, tile_count, bstats = binning.bin_triangles(
         su, cfg, st.max_pairs
     )
     vis_d, vis_t = raster_pallas.rasterize_visibility(
-        records, tile_start, tile_count, cfg, interpret=statics.interpret
+        rec_i, rec_f, tile_start, tile_count, cfg, interpret=statics.interpret
     )
     rgba = shade.shade(
         jnp,

@@ -1,0 +1,196 @@
+"""Renderer facade: the stateful top-level object with the reference's
+three-tier lifecycle.
+
+Mirrors ``src/renderer.rs``'s architecture exactly (SURVEY §1):
+
+* **Settings-independent tier** (SettingsIndependentComponents,
+  renderer.rs:75-153): process/JAX runtime init + device selection — done
+  once in ``__init__``.
+* **Settings-dependent tier** (SettingsDependentComponents,
+  renderer.rs:156-308): scene buffers uploaded to the device, materials/
+  atlas/light packs, and the jit-compiled frame function — rebuilt wholesale
+  by :meth:`update_settings` (the update_user_settings analogue,
+  renderer.rs:624-627).
+* **Resize-dependent tier** (ResizeDependentComponents,
+  renderer.rs:601-620): the RasterConfig + shape-specialized compiled kernels
+  + framebuffer ring — rebuilt by :meth:`resize`.
+
+Per frame (:meth:`draw_frame`, the renderer.rs:389-597 analogue): the host
+composes camera + per-object matrices (the 192-byte UBO write), calls the
+compiled pipeline (async dispatch), and pushes the frame into the present
+ring, which blocks only frames_in_flight frames later (fence analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import Camera
+from .config import RendererSettings, derive_raster_config
+from .oracle.raster_cpu import compose_mvp
+from .pipeline import FrameStatics, render_frame_jit
+from .present import FrameRing
+from .rtypes import LightPack, MaterialsPack
+from .scene import Scene
+from .utils.profiling import FrameStats
+
+F32 = np.float32
+
+
+def select_device(settings: RendererSettings):
+    """Device selection mirroring the reference's scoring
+    (renderer.rs:332-387): honor the explicit preference, else prefer
+    tpu > gpu > cpu (discrete > integrated > cpu analogue)."""
+    devices = jax.devices()
+    if settings.preferred_device_index is not None:
+        return devices[settings.preferred_device_index]
+    score = {"tpu": 1000, "gpu": 100, "cpu": 1}
+    return max(devices, key=lambda d: score.get(d.platform, 10))
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene: Scene,
+        settings: Optional[RendererSettings] = None,
+        interpret: Optional[bool] = None,
+    ):
+        settings = settings or RendererSettings()
+        # --- settings-independent tier
+        self.device = select_device(settings)
+        if interpret is None:
+            interpret = self.device.platform != "tpu"
+        self._interpret = interpret
+        self.stats = FrameStats()
+        self._build_settings_dependent(scene, settings)
+
+    # ----- settings-dependent world -------------------------------------
+    def _build_settings_dependent(self, scene: Scene, settings: RendererSettings):
+        self.scene = scene
+        self.settings = settings
+        packed = scene.pack()
+        self.packed = packed
+        dev = self.device
+        put = lambda a: jax.device_put(jnp.asarray(a), dev)
+        self._buffers = dict(
+            positions=put(packed.positions),
+            vert_obj=put(packed.vert_obj),
+            normals=put(packed.normals),
+            colors=put(packed.colors),
+            uvs=put(packed.uvs),
+            tri_v=put(packed.tri_v),
+            tri_obj=put(packed.tri_obj),
+            obj_material=put(packed.obj_material),
+        )
+        self.materials = MaterialsPack(
+            base_color=put(
+                np.array([m.base_color for m in scene.materials], F32)
+            ),
+            tex_id=put(
+                np.array([m.texture_id for m in scene.materials], np.int32)
+            ),
+            specular=put(np.array([m.specular for m in scene.materials], F32)),
+            shininess=put(
+                np.array([m.shininess for m in scene.materials], np.int32)
+            ),
+        )
+        self.atlas = None
+        if scene.atlas is not None:
+            self.atlas = jax.tree.map(put, scene.atlas)
+        self.light = None
+        if scene.light is not None:
+            self.light = LightPack(
+                direction=put(np.asarray(scene.light.direction, F32)),
+                color=put(np.asarray(scene.light.color, F32)),
+                ambient=put(np.asarray(scene.light.ambient, F32)),
+            )
+        self._build_resize_dependent()
+
+    # ----- resize-dependent tier ----------------------------------------
+    def _build_resize_dependent(self):
+        st = self.settings
+        self.cfg = derive_raster_config(st.render_width, st.render_height)
+        self.statics = FrameStatics(
+            cfg=self.cfg,
+            settings=st,
+            has_materials=True,
+            has_atlas=self.atlas is not None,
+            has_light=self.light is not None,
+            interpret=self._interpret,
+        )
+        self.ring = FrameRing(st.frames_in_flight)
+
+    # ----- public API ----------------------------------------------------
+    def update_settings(self, settings: RendererSettings, scene: Scene = None):
+        """Rebuild the whole settings-dependent world
+        (update_user_settings analogue)."""
+        self.ring.drain()
+        self._build_settings_dependent(scene or self.scene, settings)
+
+    def resize(self, width: int, height: int):
+        """Swapchain-invalidation path: rebuild resolution-keyed state
+        (renderer.rs:601-620)."""
+        self.ring.drain()
+        self.settings = dataclasses.replace(
+            self.settings, width=width, height=height
+        )
+        self._build_resize_dependent()
+
+    def update_mesh(self, mesh_index: int, mesh):
+        """Re-upload geometry after a mesh edit (update_vertices analogue,
+        vertex_buffer_components.rs:71-87)."""
+        self.scene.meshes[mesh_index] = mesh
+        self.update_settings(self.settings, self.scene)
+
+    def render_frame(self, camera: Camera, model_mats: np.ndarray = None):
+        """Render one frame; returns (device rgba8, aux).  Async: does not
+        block on device completion."""
+        t0 = time.perf_counter()
+        st = self.settings
+        if model_mats is None:
+            model_mats = self.scene.model_matrices()
+        view = camera.view_matrix()
+        proj = camera.projection_matrix(st.render_width / st.render_height)
+        mvp = compose_mvp(model_mats, view, proj)
+        rgba8, aux = render_frame_jit(
+            self.statics,
+            self._buffers["positions"],
+            self._buffers["vert_obj"],
+            self._buffers["normals"],
+            self._buffers["colors"],
+            self._buffers["uvs"],
+            self._buffers["tri_v"],
+            self._buffers["tri_obj"],
+            self._buffers["obj_material"],
+            jnp.asarray(model_mats),
+            jnp.asarray(mvp),
+            jnp.asarray(camera.position.astype(F32)),
+            self.materials,
+            self.atlas,
+            self.light,
+        )
+        self.stats.record_dispatch(time.perf_counter() - t0)
+        return rgba8, aux
+
+    def draw_frame(self, camera: Camera, model_mats=None, on_present=None):
+        """Frame-loop step: render + submit to the present ring.  Returns the
+        host RGBA8 of a frame completed frames_in_flight ago (or None)."""
+        t0 = time.perf_counter()
+        rgba8, aux = self.render_frame(camera, model_mats)
+        presented = self.ring.push(rgba8, on_present)
+        self.stats.record_frame(time.perf_counter() - t0, aux)
+        return presented
+
+    def finish(self):
+        """Drain in-flight frames (device_wait_idle analogue)."""
+        return self.ring.drain()
+
+    def read_frame(self, rgba8) -> np.ndarray:
+        """Blocking readback of one frame."""
+        return np.asarray(jax.device_get(rgba8))
