@@ -45,9 +45,18 @@ RECORD_ROWS = 16
 F32_ROWS = 1
 
 
-def bin_triangles(su: TriangleSetup, cfg: RasterConfig, max_pairs: int):
-    """Returns (records (16, P + tri_block_pad), tile_start (n_tiles,),
-    tile_count (n_tiles,), stats dict)."""
+def bin_triangles(su: TriangleSetup, cfg: RasterConfig, max_pairs: int,
+                  tile_row0: int = 0, tile_rows: int | None = None):
+    """Returns (records (16, P + pad), records_f, tile_start, tile_count,
+    stats) for the tile-row window [tile_row0, tile_row0 + tile_rows) —
+    windowing is how multi-chip sharding gives each device its slab of the
+    framebuffer (parallel/sharding.py).  Defaults to the full grid."""
+    if tile_rows is None:
+        tile_rows = cfg.grid_h
+    n_tiles_w = tile_rows * cfg.grid_w
+    # tile_row0 may be a traced scalar (per-device slab origin in shard_map)
+    py_lo = tile_row0 * cfg.tile_h
+    py_hi = jnp.minimum((tile_row0 + tile_rows) * cfg.tile_h, cfg.height) - 1
     ss = cfg.subpixel_scale
     half = ss // 2
     s_rows = su.x0.shape[0]
@@ -59,14 +68,14 @@ def bin_triangles(su: TriangleSetup, cfg: RasterConfig, max_pairs: int):
 
     pxmin = jnp.maximum(0, (xmin - half + ss - 1) // ss)
     pxmax = jnp.minimum(cfg.width - 1, (xmax - half) // ss)
-    pymin = jnp.maximum(0, (ymin - half + ss - 1) // ss)
-    pymax = jnp.minimum(cfg.height - 1, (ymax - half) // ss)
+    pymin = jnp.maximum(py_lo, (ymin - half + ss - 1) // ss)
+    pymax = jnp.minimum(py_hi, (ymax - half) // ss)
 
     live = su.valid & (pxmax >= pxmin) & (pymax >= pymin)
     tx0 = jnp.where(live, pxmin // cfg.tile_w, 0)
     tx1 = jnp.where(live, pxmax // cfg.tile_w, -1)
-    ty0 = jnp.where(live, pymin // cfg.tile_h, 0)
-    ty1 = jnp.where(live, pymax // cfg.tile_h, -1)
+    ty0 = jnp.where(live, pymin // cfg.tile_h - tile_row0, 0)
+    ty1 = jnp.where(live, pymax // cfg.tile_h - tile_row0, -1)
     ntx = tx1 - tx0 + 1
     nty = ty1 - ty0 + 1
     count = jnp.where(live, ntx * nty, 0)
@@ -85,17 +94,18 @@ def bin_triangles(su: TriangleSetup, cfg: RasterConfig, max_pairs: int):
     dy = k // jnp.maximum(ntx[t_c], 1)
     dx = k - dy * jnp.maximum(ntx[t_c], 1)
     tile = (ty0[t_c] + dy) * cfg.grid_w + (tx0[t_c] + dx)
-    tile = jnp.where(in_range, tile, cfg.n_tiles)  # sentinel bucket at end
+    tile = jnp.where(in_range, tile, n_tiles_w)  # sentinel bucket at end
 
     tile_sorted, tri_sorted = jax.lax.sort_key_val(tile, t_c)
-    tri_sorted = jnp.where(tile_sorted < cfg.n_tiles, tri_sorted, -1)
+    tri_sorted = jnp.where(tile_sorted < n_tiles_w, tri_sorted, -1)
 
-    tile_ids = jnp.arange(cfg.n_tiles, dtype=I32)
+    tile_ids = jnp.arange(n_tiles_w, dtype=I32)
     tile_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(I32)
     tile_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(I32)
     tile_count = tile_end - tile_start
 
-    rec_i, rec_f = _pair_records(su, tri_sorted, tile_sorted, cfg)
+    rec_i, rec_f = _pair_records(su, tri_sorted, tile_sorted, cfg,
+                                 tile_row0, n_tiles_w)
     # pad so the kernel's fixed-size aligned-window DMA never reads OOB:
     # worst window start is round_down(max_pairs) and reads tri_block + 128
     pad = cfg.tri_block + 256
@@ -105,8 +115,11 @@ def bin_triangles(su: TriangleSetup, cfg: RasterConfig, max_pairs: int):
     return rec_i, rec_f, tile_start, tile_count, stats
 
 
-def _pair_records(su: TriangleSetup, tri_sorted, tile_sorted, cfg: RasterConfig):
+def _pair_records(su: TriangleSetup, tri_sorted, tile_sorted, cfg: RasterConfig,
+                  tile_row0: int = 0, n_tiles_w: int | None = None):
     """Gather + precompute the (16, P) kernel records for sorted pairs."""
+    if n_tiles_w is None:
+        n_tiles_w = cfg.n_tiles
     ss = cfg.subpixel_scale
     half = ss // 2
     s_rows = su.x0.shape[0]
@@ -121,9 +134,9 @@ def _pair_records(su: TriangleSetup, tri_sorted, tile_sorted, cfg: RasterConfig)
     a1, b1, tl1 = sm.edge_coeffs(g["x2"], g["y2"], g["x0"], g["y0"])
     a2, b2, tl2 = sm.edge_coeffs(g["x0"], g["y0"], g["x1"], g["y1"])
 
-    tile_c = jnp.clip(tile_sorted, 0, cfg.n_tiles - 1)
+    tile_c = jnp.clip(tile_sorted, 0, n_tiles_w - 1)
     corner_px = (tile_c % cfg.grid_w) * cfg.tile_w
-    corner_py = (tile_c // cfg.grid_w) * cfg.tile_h
+    corner_py = (tile_c // cfg.grid_w + tile_row0) * cfg.tile_h
     sx = corner_px * ss + half
     sy = corner_py * ss + half
     e0c = sm.edge_at(a0, b0, g["x1"], g["y1"], sx, sy)

@@ -154,20 +154,27 @@ def _kernel(
         jax.lax.fori_loop(0, nblocks, block_body, None)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "tile_rows")
+)
 def rasterize_visibility(
     records_i, records_f, tile_start, tile_count, cfg: RasterConfig,
-    interpret: bool = False
+    interpret: bool = False, tile_rows: int | None = None
 ):
-    """records_i: (16, P_pad) i32, records_f: (F32_ROWS, P_pad) f32; returns
-    (vis_d16, vis_tri) cropped to (height, width)."""
-    grid = (cfg.n_tiles,)
+    """records_i: (16, P_pad) i32, records_f: (F32_ROWS, F_pad) f32; returns
+    (vis_d16, vis_tri) cropped to (height, width).  tile_rows renders only a
+    slab of that many tile rows (records must be binned with the matching
+    window) — the multi-chip sharding path."""
+    full = tile_rows is None
+    if full:
+        tile_rows = cfg.grid_h
+    grid = (tile_rows * cfg.grid_w,)
     out_shape = (
         jax.ShapeDtypeStruct(
-            (cfg.grid_h * cfg.tile_h, cfg.grid_w * cfg.tile_w), I32
+            (tile_rows * cfg.tile_h, cfg.grid_w * cfg.tile_w), I32
         ),
         jax.ShapeDtypeStruct(
-            (cfg.grid_h * cfg.tile_h, cfg.grid_w * cfg.tile_w), I32
+            (tile_rows * cfg.tile_h, cfg.grid_w * cfg.tile_w), I32
         ),
     )
     block = pl.BlockSpec(
@@ -199,4 +206,6 @@ def rasterize_visibility(
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_start, tile_count, records_i, records_f)
-    return vis_d[: cfg.height, : cfg.width], vis_t[: cfg.height, : cfg.width]
+    if full:
+        return vis_d[: cfg.height, : cfg.width], vis_t[: cfg.height, : cfg.width]
+    return vis_d[:, : cfg.width], vis_t[:, : cfg.width]

@@ -114,11 +114,13 @@ def shade(
     camera_pos=None,
     cfg: RasterConfig = None,
     clear_color=(0.0, 0.0, 0.0, 1.0),
+    py_offset: int = 0,
 ):
     """Shade the visibility buffer into an f32 RGBA image (render resolution).
 
     su: TriangleSetup (numpy or jnp arrays); attrs: (VA, 12) combined
-    attribute table (see oracle/raster_cpu.py layout).
+    attribute table (see oracle/raster_cpu.py layout).  py_offset: global
+    pixel row of vis_tri's first row (multi-chip slab shading).
     """
     h, w = vis_tri.shape
     valid = vis_tri >= 0
@@ -132,7 +134,8 @@ def shade(
     }
 
     px = _iota2(xp, h, w, 1)
-    py = _iota2(xp, h, w, 0)
+    # py_offset may be traced (per-device slab origin under shard_map)
+    py = _iota2(xp, h, w, 0) + py_offset
     (e0, e1, e2), (a0, a1, a2) = _edges_at_pixels(g, px, py, cfg, xp)
     l0, l1, l2 = sm.bary_weights(e0, e1, e2, g["inv_area2"], xp)
     m0, m1, m2 = sm.persp_weights(l0, l1, l2, g["iw0"], g["iw1"], g["iw2"], xp)

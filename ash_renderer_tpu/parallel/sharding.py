@@ -1,0 +1,130 @@
+"""Multi-chip rendering: shard the framebuffer tile grid across a device mesh.
+
+The reference is strictly single-GPU (SURVEY §2's parallelism inventory: no
+DP/TP/PP/SP, no communication backend); scale-out here is new TPU-first
+design.  The natural decomposition for a rasterizer is data parallelism over
+pixels: each chip owns a horizontal slab of framebuffer tile rows.
+
+  * Geometry (vertex transform + clip + setup) is replicated — it is a small
+    fraction of frame cost and replicating it avoids an all_gather of the
+    setup buffers that every slab needs anyway.
+  * Binning runs per-device against its own tile-row window (the window
+    parameter of ops/binning.bin_triangles), so each chip sorts and streams
+    only the triangles that touch its slab.
+  * The Pallas visibility kernel and deferred shading run on slab-local
+    buffers; no cross-device communication exists at all until the final
+    frame assembly, which is a pure all_gather of RGBA8 rows over ICI — the
+    cheapest possible collective pattern (compositing needs no depth merge
+    because slabs partition the screen).
+
+Implemented with shard_map over a 1-D Mesh("rows"); jit of the wrapper
+inserts the all_gather.  Works identically on N real chips or the CPU
+xla_force_host_platform_device_count mesh used in tests and the driver's
+dry run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RasterConfig, RendererSettings
+from ..ops import binning, geometry, raster_pallas, shade
+
+F32 = np.float32
+
+
+def make_render_mesh(devices=None) -> Mesh:
+    devices = devices or jax.devices()
+    return Mesh(np.array(devices), axis_names=("rows",))
+
+
+def _slab_pipeline(
+    statics,
+    n_dev: int,
+    positions, vert_obj, normals, colors, uvs,
+    tri_v, tri_obj, obj_material,
+    model_mats, mvp_mats, camera_pos,
+    materials, atlas, light,
+):
+    """Per-device body (runs under shard_map): renders this device's slab."""
+    cfg = statics.cfg
+    st = statics.settings
+    rows_per = cfg.grid_h // n_dev
+    dev = jax.lax.axis_index("rows")
+    tile_row0 = dev * rows_per
+
+    clip, attrs = geometry.transform_vertices(
+        positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
+    )
+    su, attrs_full, _ = geometry.geometry_device(
+        clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget
+    )
+    # windowed binning: static window size (rows_per), traced row origin
+    rec_i, rec_f, tile_start, tile_count, _ = binning.bin_triangles(
+        su, cfg, st.max_pairs // n_dev, tile_row0, rows_per
+    )
+    vis_d, vis_t = raster_pallas.rasterize_visibility(
+        rec_i, rec_f, tile_start, tile_count, cfg,
+        interpret=statics.interpret, tile_rows=rows_per,
+    )
+    rgba = shade.shade(
+        jnp,
+        vis_t,
+        su,
+        attrs_full,
+        materials=materials if statics.has_materials else None,
+        atlas=atlas if statics.has_atlas else None,
+        light=light if statics.has_light else None,
+        camera_pos=camera_pos,
+        cfg=cfg,
+        clear_color=st.clear_color,
+        py_offset=tile_row0 * cfg.tile_h,
+    )
+    rgba8 = shade.resolve_and_pack(jnp, rgba, st.supersample, st.srgb_output)
+    return rgba8
+
+
+def render_frame_sharded(
+    statics,
+    mesh: Mesh,
+    positions, vert_obj, normals, colors, uvs,
+    tri_v, tri_obj, obj_material,
+    model_mats, mvp_mats, camera_pos,
+    materials=None, atlas=None, light=None,
+):
+    """Full-frame multi-chip render.  The framebuffer comes back sharded over
+    mesh axis "rows" (display-resolution rows); jax assembles on readback.
+
+    Requires cfg.grid_h % n_devices == 0 and the display height divisible by
+    n_devices * tile_h * supersample (pad the resolution otherwise).
+    """
+    n_dev = mesh.devices.size
+    cfg = statics.cfg
+    if cfg.grid_h % n_dev:
+        raise ValueError(
+            f"grid_h {cfg.grid_h} not divisible by {n_dev} devices"
+        )
+    slab_disp_rows = cfg.grid_h // n_dev * cfg.tile_h
+    if slab_disp_rows % statics.settings.supersample:
+        raise ValueError("slab rows not divisible by supersample factor")
+
+    body = functools.partial(_slab_pipeline, statics, n_dev)
+    spec_repl = P()
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple([spec_repl] * 14),
+        out_specs=P("rows", None, None),
+        check_vma=False,
+    )
+    return fn(
+        positions, vert_obj, normals, colors, uvs,
+        tri_v, tri_obj, obj_material,
+        model_mats, mvp_mats, camera_pos,
+        materials, atlas, light,
+    )

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Headline benchmark: frames/sec at 1920x1080 on a 1M-triangle textured,
+lit scene (BASELINE config 4), plus a pixel-parity gate vs the CPU oracle.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 60 FPS (the BASELINE.json north-star target; the
+reference itself publishes no numbers — see BASELINE.md).
+
+Usage: python bench.py [--config N] [--frames N] [--small]
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# persistent compilation cache: the remote-compile path is slow for the
+# full pipeline, and the driver re-runs this every round
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ash_tpu_jax_cache")
+
+import numpy as np  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def parity_gate() -> bool:
+    """Small-scene pixel parity vs the CPU oracle on the live backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from ash_renderer_tpu import (
+        Camera,
+        Mesh,
+        RendererSettings,
+        Scene,
+        SceneObject,
+        derive_raster_config,
+    )
+    from ash_renderer_tpu.oracle.raster_cpu import compose_mvp
+    from ash_renderer_tpu.pipeline import FrameStatics, render_frame_jit
+    from ash_renderer_tpu.rtypes import MaterialsPack
+
+    rng = np.random.default_rng(5)
+    nv, nt = 200, 160
+    pos = rng.uniform(-2, 2, (nv, 3)).astype(np.float32)
+    pos[:, 2] += 3.5
+    mesh = Mesh(
+        positions=pos,
+        indices=rng.integers(0, nv, (nt, 3)).astype(np.int32),
+        colors=rng.uniform(0, 1, (nv, 4)).astype(np.float32),
+    )
+    scene = Scene()
+    scene.add_object(SceneObject(mesh=scene.add_mesh(mesh)))
+    settings = RendererSettings(width=256, height=192)
+    cam = Camera()
+    cfg = derive_raster_config(256, 192)
+    packed = scene.pack()
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(256 / 192)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    mats = MaterialsPack(
+        base_color=np.ones((1, 4), np.float32),
+        tex_id=np.full(1, -1, np.int32),
+        specular=np.zeros(1, np.float32),
+        shininess=np.full(1, 32, np.int32),
+    )
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=True, has_atlas=False,
+        has_light=False, interpret=jax.default_backend() != "tpu",
+    )
+    rgba8, aux = render_frame_jit(
+        statics,
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+        mats, None, None,
+    )
+    from ash_renderer_tpu.oracle import render_oracle
+
+    o = render_oracle(packed, mm, view, proj, settings, materials=mats)
+    ok = bool(np.array_equal(np.asarray(rgba8), o["rgba8"]))
+    log(f"parity gate (256x192, 160 tris): {'EXACT' if ok else 'MISMATCH'}")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--tris-n", type=int, default=708,
+                    help="terrain grid n (2*n^2 triangles)")
+    ap.add_argument("--small", action="store_true",
+                    help="reduced scene for smoke testing")
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from ash_renderer_tpu import Camera, RendererSettings
+    from ash_renderer_tpu.benchmarks import config4_million_tri
+    from ash_renderer_tpu.renderer import Renderer
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    parity_ok = True
+    if not args.skip_parity:
+        try:
+            parity_ok = parity_gate()
+        except Exception as e:  # pragma: no cover
+            log(f"parity gate error: {e!r}")
+            parity_ok = False
+
+    n = 128 if args.small else args.tris_n
+    t0 = time.time()
+    scene, settings, cams = config4_million_tri(n=n)
+    n_tris = scene.meshes[0].num_triangles
+    log(f"scene: {n_tris} triangles (built in {time.time()-t0:.1f}s)")
+
+    r = Renderer(scene, settings)
+    cam = cams[0]
+    t0 = time.time()
+    rgba8, aux = r.render_frame(cam)
+    rgba8.block_until_ready()
+    log(f"first frame (incl. compile): {time.time()-t0:.1f}s")
+    log(
+        f"valid tris: {int(aux['n_valid'])}, pairs: {int(aux['pairs_total'])},"
+        f" overflow: {int(aux['pairs_overflow'])},"
+        f" covered px: {int((np.asarray(aux['vis_tri']) >= 0).sum())}"
+    )
+
+    # steady-state timing
+    nf = args.frames
+    t0 = time.time()
+    for _ in range(nf):
+        rgba8, aux = r.render_frame(cam)
+    rgba8.block_until_ready()
+    dt = (time.time() - t0) / nf
+    fps = 1.0 / dt
+    log(f"steady state: {dt*1000:.1f} ms/frame = {fps:.2f} FPS")
+
+    value = round(fps, 3)
+    result = {
+        "metric": (
+            f"frames/sec at {settings.width}x{settings.height} on "
+            f"{n_tris}-tri textured+lit scene"
+            + ("" if parity_ok else " [PARITY GATE FAILED]")
+        ),
+        "value": value,
+        "unit": "fps",
+        "vs_baseline": round(value / 60.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

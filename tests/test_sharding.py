@@ -1,0 +1,102 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh: the sharded
+tile-row renderer must reproduce the single-device frame bit-for-bit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ash_renderer_tpu import (
+    Camera,
+    Mesh,
+    RendererSettings,
+    Scene,
+    SceneObject,
+    derive_raster_config,
+)
+from ash_renderer_tpu.oracle.raster_cpu import compose_mvp
+from ash_renderer_tpu.parallel import make_render_mesh, render_frame_sharded
+from ash_renderer_tpu.pipeline import FrameStatics, render_frame_jit
+from ash_renderer_tpu.rtypes import MaterialsPack
+
+
+def _scene(seed=3, nv=90, nt=70):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-2, 2, (nv, 3)).astype(np.float32)
+    pos[:, 2] += 3.0
+    mesh = Mesh(
+        positions=pos,
+        indices=rng.integers(0, nv, (nt, 3)).astype(np.int32),
+        colors=rng.uniform(0, 1, (nv, 4)).astype(np.float32),
+    )
+    sc = Scene()
+    sc.add_object(SceneObject(mesh=sc.add_mesh(mesh)))
+    return sc
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_matches_single_device(n_dev):
+    devices = jax.devices()[:n_dev]
+    assert len(devices) == n_dev
+    mesh = make_render_mesh(devices)
+
+    scene = _scene()
+    height = 8 * 8 * n_dev  # grid_h divisible by n_dev
+    settings = RendererSettings(
+        width=128, height=height, clip_budget=128, max_pairs=1 << 14
+    )
+    cam = Camera()
+    cfg = derive_raster_config(128, height)
+    packed = scene.pack()
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(128 / height)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    mats = MaterialsPack(
+        base_color=np.ones((1, 4), np.float32),
+        tex_id=np.full(1, -1, np.int32),
+        specular=np.zeros(1, np.float32),
+        shininess=np.full(1, 32, np.int32),
+    )
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=True, has_atlas=False,
+        has_light=False, interpret=True,
+    )
+    arrs = (
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+    )
+    single, aux = render_frame_jit(statics, *arrs, mats, None, None)
+    sharded = jax.jit(
+        lambda *a: render_frame_sharded(statics, mesh, *a)
+    )(*arrs, mats, None, None)
+    assert (np.asarray(aux["vis_tri"]) >= 0).sum() > 50
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_graft_entry_single_chip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    fn, args = m.entry()
+    rgba8, aux = jax.jit(fn).lower(*args).compile()(*args)
+    assert np.asarray(rgba8).shape[-1] == 4
+
+
+def test_graft_entry_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.dryrun_multichip(4)
