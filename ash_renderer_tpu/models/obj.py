@@ -43,8 +43,6 @@ def load_obj_python(path: str, compute_normals_if_missing: bool = True) -> Mesh:
         return idx - 1 if idx > 0 else n + idx
 
     def corner(spec: str) -> int:
-        if spec in corner_map:
-            return corner_map[spec]
         parts = spec.split("/")
         vi = resolve(int(parts[0]), len(positions))
         ti = (
@@ -57,11 +55,15 @@ def load_obj_python(path: str, compute_normals_if_missing: bool = True) -> Mesh:
             if len(parts) > 2 and parts[2]
             else -1
         )
+        key = (vi, ti, ni)  # dedup on the resolved triple (negative and
+        # positive index spellings of the same corner must unify)
+        if key in corner_map:
+            return corner_map[key]
         out_pos.append(positions[vi])
         out_uv.append(uvs[ti] if ti >= 0 else (0.0, 0.0))
         out_nrm.append(normals[ni] if ni >= 0 else (0.0, 0.0, 0.0))
         idx = len(out_pos) - 1
-        corner_map[spec] = idx
+        corner_map[key] = idx
         return idx
 
     with open(path, "r", errors="replace") as f:
