@@ -48,8 +48,14 @@ def transform_vertices(positions, vert_obj, normals, colors, uvs, model_mats, mv
     bits).  Per-vertex application uses specmath's fixed mul/add chains, not
     einsum — MXU accumulation order is platform-dependent and this stage is
     parity-critical (it feeds the snapper)."""
-    models = model_mats[vert_obj]  # (V,4,4)
-    mvps = mvp_mats[vert_obj]
+    if model_mats.shape[0] == 1:
+        # single-object fast path: broadcast instead of a V-sized gather
+        # (XLA gathers run on the scalar path, ~45ms/2M indices)
+        models = model_mats[0]
+        mvps = mvp_mats[0]
+    else:
+        models = model_mats[vert_obj]  # (V,4,4)
+        mvps = mvp_mats[vert_obj]
     px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
     wx, wy, wz, _ = sm.apply_mat4_point(models, px, py, pz)
     cx, cy, cz, cw = sm.apply_mat4_point(mvps, px, py, pz)

@@ -1,0 +1,81 @@
+"""Renderer facade: lifecycle tiers, frame loop, present ring, debug mode."""
+
+import numpy as np
+import pytest
+
+from ash_renderer_tpu import Camera, RendererSettings, reference_two_triangle_scene
+from ash_renderer_tpu.camera import CameraController
+from ash_renderer_tpu.present import FrameCollector
+from ash_renderer_tpu.renderer import Renderer
+from ash_renderer_tpu.utils.debugging import validate_frame
+
+
+@pytest.fixture(scope="module")
+def renderer():
+    scene = reference_two_triangle_scene()
+    settings = RendererSettings(width=128, height=96, clip_budget=64)
+    return Renderer(scene, settings)
+
+
+def test_draw_frame_loop(renderer):
+    cam = Camera()
+    ctl = CameraController(speed=0.01, mouse_sens=0.01)
+    collector = FrameCollector()
+    presented = []
+    for i in range(4):
+        ctl.forward_pressed = True
+        ctl.update_camera(cam)
+        out = renderer.draw_frame(cam, on_present=collector)
+        presented.append(out)
+    rest = renderer.finish()
+    # frames_in_flight=2: first two draws return None, later ones return
+    # completed older frames
+    assert presented[0] is None and presented[1] is None
+    assert presented[2] is not None
+    assert len(collector.frames) == 4
+    assert collector.frames[0].shape == (96, 128, 4)
+    # camera moved forward each frame -> triangle grows; frames differ
+    assert not np.array_equal(collector.frames[0], collector.frames[-1])
+    assert renderer.stats.n_frames == 4
+    assert renderer.stats.summary()["frames"] == 4
+
+
+def test_resize_rebuild(renderer):
+    renderer.resize(160, 120)
+    rgba8, aux = renderer.render_frame(Camera())
+    assert np.asarray(rgba8).shape == (120, 160, 4)
+    renderer.resize(128, 96)
+
+
+def test_update_settings_rebuild(renderer):
+    import dataclasses
+
+    new = dataclasses.replace(
+        renderer.settings, clear_color=(1.0, 0.0, 0.0, 1.0)
+    )
+    renderer.update_settings(new)
+    rgba8, aux = renderer.render_frame(Camera())
+    host = np.asarray(rgba8)
+    bg = np.asarray(aux["vis_tri"]) < 0
+    assert (host[bg] == np.array([255, 0, 0, 255], np.uint8)).all()
+
+
+def test_validate_frame(renderer):
+    rgba8, aux = renderer.render_frame(Camera())
+    findings = validate_frame(aux, rgba8)
+    assert all(f.severity != "ERROR" for f in findings)
+
+
+def test_mesh_update(renderer):
+    """update_vertices analogue: editing mesh data re-uploads geometry."""
+    import copy
+
+    scene = renderer.scene
+    mesh = copy.deepcopy(scene.meshes[0])
+    before = np.asarray(renderer.render_frame(Camera())[0]).copy()
+    # (note: uniform scaling about the camera origin would be projectively
+    # invisible; translate instead)
+    mesh.positions = mesh.positions + np.float32([0.5, 0.2, 0.0])
+    renderer.update_mesh(0, mesh)
+    after = np.asarray(renderer.render_frame(Camera())[0])
+    assert not np.array_equal(before, after)
