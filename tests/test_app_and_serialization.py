@@ -1,0 +1,102 @@
+"""App shell frame loop, CLI, and scene serialization round trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ash_renderer_tpu import (
+    Camera,
+    DirectionalLight,
+    Material,
+    RendererSettings,
+    Scene,
+    SceneObject,
+    reference_two_triangle_scene,
+)
+from ash_renderer_tpu.app import App, InputEvent, render_to_images
+from ash_renderer_tpu.models import cube
+from ash_renderer_tpu.serialization import load_scene, save_scene
+from ash_renderer_tpu.textures import TextureAtlas, checkerboard
+
+
+def test_app_step_loop():
+    app = App(
+        reference_two_triangle_scene(),
+        RendererSettings(width=96, height=64, clip_budget=64),
+    )
+    events = [InputEvent(forward=True)] * 3 + [InputEvent(mouse_dx=5.0)]
+    stats = app.run(4, events)
+    assert stats.n_frames == 4
+    # forward x3 at default speed
+    assert app.camera.position[2] == pytest.approx(0.03, abs=1e-6)
+    assert app.camera.theta == pytest.approx(0.05)
+
+
+def test_render_to_images(tmp_path):
+    paths = render_to_images(
+        reference_two_triangle_scene(),
+        RendererSettings(width=64, height=48, clip_budget=64),
+        [Camera(), Camera(theta=0.3)],
+        str(tmp_path),
+    )
+    assert len(paths) == 2
+    from PIL import Image
+
+    img = np.asarray(Image.open(paths[0]))
+    assert img.shape == (48, 64, 4)
+    img2 = np.asarray(Image.open(paths[1]))
+    assert not np.array_equal(img, img2)
+
+
+def test_scene_serialization_roundtrip(tmp_path):
+    scene = Scene(
+        materials=[Material(base_color=(0.5, 0.6, 0.7, 1.0), texture_id=0,
+                            specular=0.3, shininess=16)],
+        light=DirectionalLight(direction=(0.1, -0.9, 0.3), ambient=0.2),
+    )
+    scene.atlas = TextureAtlas.build([checkerboard(16)])
+    scene.add_object(SceneObject(mesh=scene.add_mesh(cube())))
+    cams = [Camera(), Camera(theta=1.0)]
+    path = os.path.join(str(tmp_path), "scene.npz")
+    save_scene(path, scene, cams)
+    back, back_cams = load_scene(path)
+    assert len(back.meshes) == 1
+    np.testing.assert_array_equal(
+        back.meshes[0].positions, scene.meshes[0].positions
+    )
+    np.testing.assert_array_equal(
+        back.meshes[0].indices, scene.meshes[0].indices
+    )
+    assert back.materials[0].texture_id == 0
+    assert back.light.ambient == pytest.approx(0.2)
+    np.testing.assert_array_equal(
+        np.asarray(back.atlas.texels), np.asarray(scene.atlas.texels)
+    )
+    assert len(back_cams) == 2
+    assert back_cams[1].theta == pytest.approx(1.0)
+
+    # serialized scene renders identically
+    from ash_renderer_tpu.oracle import render_oracle
+    from ash_renderer_tpu.oracle.raster_cpu import compose_mvp
+
+    st = RendererSettings(width=48, height=32, clip_budget=32)
+    for sc in (scene, back):
+        out = render_oracle(
+            sc.pack(),
+            sc.model_matrices(),
+            cams[0].view_matrix(),
+            cams[0].projection_matrix(48 / 32),
+            st,
+        )
+        if sc is scene:
+            first = out["rgba8"]
+    np.testing.assert_array_equal(first, out["rgba8"])
+
+
+def test_cli_smoke(tmp_path):
+    from ash_renderer_tpu.app import main
+
+    out = os.path.join(str(tmp_path), "frames")
+    main(["reference", "--size", "64x48", "--out", out])
+    assert os.path.exists(os.path.join(out, "frame_0000.png"))
