@@ -85,39 +85,43 @@ def _plane_dists(c, gx, gy):
     )
 
 
-def _snap_tri(cverts, cfg: RasterConfig):
-    """cverts (..., 3, 4) -> snapped ints + zq + iw, matching oracle emit()."""
-    w = cverts[..., 3]
-    iw_raw = sm.recip_spec(w, jnp)
+def _snap_corner(cx, cy, cz, cw, cfg: RasterConfig):
+    """One corner's clip coords (flat arrays) -> snapped ints + zq + iw,
+    matching oracle emit().  Kept flat: multi-dim-indexed gathers and tiny
+    trailing axes make the remote XLA compile pathological (measured 300s+
+    for the (T,3,4) formulation vs ~1s flat)."""
+    iw_raw = sm.recip_spec(cw, jnp)
     iw = jnp.where(jnp.isfinite(iw_raw), iw_raw, F32(0.0))
-    ndc = cverts[..., :3] * iw[..., None]
-    ndc = jnp.where(jnp.isfinite(ndc), ndc, F32(0.0))
+
+    def nd(v):
+        r = v * iw
+        return jnp.where(jnp.isfinite(r), r, F32(0.0))
+
     xi = sm.snap_coord(
-        ndc[..., 0], cfg.width, cfg.subpixel_scale, cfg.min_coord, cfg.max_coord_x, jnp
+        nd(cx), cfg.width, cfg.subpixel_scale, cfg.min_coord, cfg.max_coord_x,
+        jnp,
     )
     yi = sm.snap_coord(
-        ndc[..., 1], cfg.height, cfg.subpixel_scale, cfg.min_coord, cfg.max_coord_y, jnp
+        nd(cy), cfg.height, cfg.subpixel_scale, cfg.min_coord, cfg.max_coord_y,
+        jnp,
     )
-    zq = sm.quantize_depth(ndc[..., 2], jnp)
+    zq = sm.quantize_depth(nd(cz), jnp)
     return xi, yi, zq, iw
 
 
-def _finish_tri(xi, yi, zq, iw, vids, mat, alive):
+def _finish_tri(corners, vids, mat, alive):
     """Orientation cull + winding normalization; returns per-field dict with
-    a validity flag.  xi/yi/zq/iw: (..., 3); vids: (..., 3) i32."""
-    sl = sm.shoelace2(
-        xi[..., 0], yi[..., 0], xi[..., 1], yi[..., 1], xi[..., 2], yi[..., 2]
-    )
+    a validity flag.  corners: tuple of three (xi, yi, zq, iw) corner tuples;
+    vids: tuple of three index arrays."""
+    (xa, ya, za, ia), (xb, yb, zb, ib), (xc, yc, zc, ic) = corners
+    sl = sm.shoelace2(xa, ya, xb, yb, xc, yc)
     valid = alive & (sl < 0)
     # rewind 0,2,1 so area2 > 0
-    def swap(a):
-        return a[..., 0], a[..., 2], a[..., 1]
-
-    x0, x1, x2 = swap(xi)
-    y0, y1, y2 = swap(yi)
-    z0, z1, z2 = swap(zq)
-    i0, i1, i2 = swap(iw)
-    v0, v1, v2 = swap(vids)
+    x0, x1, x2 = xa, xc, xb
+    y0, y1, y2 = ya, yc, yb
+    z0, z1, z2 = za, zc, zb
+    i0, i1, i2 = ia, ic, ib
+    v0, v1, v2 = vids[0], vids[2], vids[1]
     area2 = jnp.where(valid, -sl, I32(1))
     out = dict(
         valid=valid,
@@ -218,18 +222,42 @@ def geometry_device(
 
     vid_ok = tri_v[:, 0] >= 0
     vid = jnp.clip(tri_v, 0, nv_pad - 1)
-    cv = clip[vid]  # (T,3,4)
     mat_id = obj_material[jnp.clip(tri_obj, 0, obj_material.shape[0] - 1)]
 
-    d = _plane_dists(cv, gx, gy)  # (T,3,6)
-    out_any = jnp.any(jnp.all(d < 0, axis=1), axis=-1)
-    all_in = jnp.all(d >= 0, axis=(1, 2))
+    # flat per-corner row gathers + flat plane tests (see _snap_corner note)
+    corners_clip = [clip[vid[:, k]] for k in range(3)]  # 3x (T,4)
+    any_out_plane = [None] * 6
+    any_corner_out = None
+    for c in corners_clip:
+        x, y, z, w = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
+        ds = (
+            z, w - z,
+            F32(gx) * w + x, F32(gx) * w - x,
+            F32(gy) * w + y, F32(gy) * w - y,
+        )
+        for pi, dv in enumerate(ds):
+            neg = dv < 0
+            any_out_plane[pi] = (
+                neg if any_out_plane[pi] is None else any_out_plane[pi] & neg
+            )
+            any_corner_out = (
+                neg if any_corner_out is None else any_corner_out | neg
+            )
+    out_any = any_out_plane[0]
+    for m in any_out_plane[1:]:
+        out_any = out_any | m
+    all_in = ~any_corner_out
     fast = vid_ok & all_in
     needs_clip = vid_ok & ~all_in & ~out_any
 
     # ---- fast path: direct snap on original triangles
-    xi, yi, zq, iw = _snap_tri(cv, cfg)
-    main = _finish_tri(xi, yi, zq, iw, vid, mat_id, fast)
+    corner_snaps = tuple(
+        _snap_corner(c[:, 0], c[:, 1], c[:, 2], c[:, 3], cfg)
+        for c in corners_clip
+    )
+    main = _finish_tri(
+        corner_snaps, (vid[:, 0], vid[:, 1], vid[:, 2]), mat_id, fast
+    )
 
     # ---- clip path: budgeted compaction of flagged triangles
     ranks = jnp.cumsum(needs_clip.astype(I32)) - needs_clip.astype(I32)
@@ -239,7 +267,7 @@ def geometry_device(
     sel = jnp.nonzero(needs_clip, size=clip_budget, fill_value=-1)[0]
     sel_ok = sel >= 0
     sel_c = jnp.clip(sel, 0, t_in - 1)
-    cvb = cv[sel_c]  # (B,3,4)
+    cvb = jnp.stack([c[sel_c] for c in corners_clip], axis=1)  # (B,3,4)
     ab = attrs[vid[sel_c]]  # (B,3,A)
     matb = mat_id[sel_c]
 
@@ -257,13 +285,23 @@ def geometry_device(
     )  # (7,3)
     fan_alive = (j_idx[None, :] + 2 < poly_n[:, None]) & sel_ok[:, None]
     fanc = jnp.clip(fan, 0, POLY_SLOTS - 1)
-    fv = poly_v[:, fanc]  # (B,7,3,4)
-    fiw = iw_poly[:, fanc]  # (B,7,3)
-    fvids = vbase[:, None, None] + fanc[None]  # (B,7,3)
-    xi2, yi2, zq2, iw2_raw = _snap_tri(fv, cfg)
-    clipped = _finish_tri(xi2, yi2, zq2, fiw, fvids,
-                          jnp.broadcast_to(matb[:, None], fan_alive.shape),
-                          fan_alive)
+    fan_corners = []
+    fan_vids = []
+    for k in range(3):
+        fvk = poly_v[:, fanc[:, k]]  # (B,7,4)
+        snap = _snap_corner(
+            fvk[..., 0], fvk[..., 1], fvk[..., 2], fvk[..., 3], cfg
+        )
+        # use the per-polygon-vertex iw (same bits; oracle computes it once
+        # per polygon vertex)
+        fan_corners.append(
+            (snap[0], snap[1], snap[2], iw_poly[:, fanc[:, k]])
+        )
+        fan_vids.append(vbase[:, None] + fanc[None, :, k])
+    clipped = _finish_tri(
+        tuple(fan_corners), tuple(fan_vids),
+        jnp.broadcast_to(matb[:, None], fan_alive.shape), fan_alive,
+    )
 
     # ---- assemble the static setup buffer
     def cat(k):
