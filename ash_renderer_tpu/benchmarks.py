@@ -120,8 +120,35 @@ def config3_blinn_phong():
     return scene, RendererSettings(width=800, height=600), [Camera()]
 
 
-def config4_million_tri(n: int = 708):
-    """1M-triangle terrain at 1080p (2*n^2 tris; n=708 -> 1,002,528)."""
+def config4_million_tri(subdiv: int = 8):
+    """1M+-triangle scene at 1080p: an icosphere (20 * 4^subdiv triangles;
+    subdiv=8 -> 1,310,720) filling the frame, textured + lit.
+
+    Why a sphere and not a terrain: with the spec's 1/16-pixel snapping,
+    sub-1/16-px triangles legitimately degenerate and cull, so a perspective
+    heightfield (exponentially distributed projected sizes) mostly decimates
+    to dust at this density.  A frame-filling sphere gives uniform ~1.6 px^2
+    front-facing triangles — the honest fill-rate + binning workload."""
+    mesh = icosphere(subdiv)
+    scene = Scene(
+        materials=[Material(texture_id=0, specular=0.4, shininess=32)],
+        light=DirectionalLight(direction=(0.3, -0.7, 0.5), ambient=0.25),
+    )
+    scene.atlas = TextureAtlas.build([checkerboard(512)])
+    scene.add_object(
+        SceneObject(mesh=scene.add_mesh(mesh), model=mathx.translation([0, 0, 2.0]))
+    )
+    cam = Camera()
+    return (
+        scene,
+        RendererSettings(width=1920, height=1080, max_pairs=1 << 21),
+        [cam],
+    )
+
+
+def config4_terrain(n: int = 708):
+    """The heightfield variant of config 4 (kept for perspective/LOD-stress
+    testing: most triangles are subpixel and decimate in snapping)."""
     mesh = terrain(n=n)
     scene = Scene(
         materials=[Material(texture_id=0)],
@@ -132,7 +159,7 @@ def config4_million_tri(n: int = 708):
     cam = Camera(position=np.array([0.0, -2.0, -6.0], F32))
     return (
         scene,
-        RendererSettings(width=1920, height=1080, max_pairs=1 << 22),
+        RendererSettings(width=1920, height=1080, max_pairs=1 << 21),
         [cam],
     )
 
@@ -175,5 +202,6 @@ ALL_CONFIGS = {
     "config2_multi_mesh": config2_multi_mesh,
     "config3_blinn_phong": config3_blinn_phong,
     "config4_million_tri": config4_million_tri,
+    "config4_terrain": config4_terrain,
     "config5_flythrough": config5_flythrough,
 }

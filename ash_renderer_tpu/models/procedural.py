@@ -106,24 +106,28 @@ def icosphere(subdivisions: int = 3, radius: float = 1.0) -> Mesh:
         dtype=np.int64,
     )
     for _ in range(subdivisions):
-        edge_mid: dict = {}
-        verts_list = list(verts)
-        new_faces = []
-
-        def midpoint(a, b):
-            key = (min(a, b), max(a, b))
-            if key not in edge_mid:
-                m = (verts_list[a] + verts_list[b]) / 2.0
-                m = m / np.linalg.norm(m)
-                edge_mid[key] = len(verts_list)
-                verts_list.append(m)
-            return edge_mid[key]
-
-        for a, b, c in faces:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
-        verts = np.array(verts_list)
-        faces = np.array(new_faces, dtype=np.int64)
+        # vectorized 4:1 subdivision (handles millions of faces in ~seconds)
+        e = np.sort(
+            np.stack(
+                [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=1
+            ),
+            axis=-1,
+        ).reshape(-1, 2)  # (3F, 2)
+        uniq, inv = np.unique(e, axis=0, return_inverse=True)
+        mids = verts[uniq[:, 0]] + verts[uniq[:, 1]]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        mid_id = len(verts) + inv.reshape(-1, 3)  # (F, 3): ab, bc, ca
+        verts = np.concatenate([verts, mids])
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        ab, bc, ca = mid_id[:, 0], mid_id[:, 1], mid_id[:, 2]
+        faces = np.concatenate(
+            [
+                np.stack([a, ab, ca], 1),
+                np.stack([b, bc, ab], 1),
+                np.stack([c, ca, bc], 1),
+                np.stack([ab, bc, ca], 1),
+            ]
+        ).astype(np.int64)
     pos = (verts * radius).astype(F32)
     nrm = verts.astype(F32)
     u = (np.arctan2(verts[:, 2], verts[:, 0]) / (2 * np.pi) + 0.5).astype(F32)

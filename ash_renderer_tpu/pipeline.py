@@ -98,3 +98,72 @@ def render_frame(
 
 
 render_frame_jit = jax.jit(render_frame, static_argnames=("statics",))
+
+
+# ---------------------------------------------------------------------------
+# Staged execution: four separately-jitted stages.  Identical results (every
+# stage boundary is a materialized array anyway); compiles ~10x faster than
+# the fused graph at 1M-triangle shapes, at a few percent steady-state cost —
+# the development-iteration mode (RendererSettings.staged_pipeline).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "clip_budget"))
+def _stage_geometry(cfg, clip_budget, positions, vert_obj, normals, colors,
+                    uvs, tri_v, tri_obj, obj_material, model_mats, mvp_mats):
+    clip, attrs = geometry.transform_vertices(
+        positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
+    )
+    return geometry.geometry_device(
+        clip, attrs, tri_v, tri_obj, obj_material, cfg, clip_budget
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_pairs"))
+def _stage_binning(cfg, max_pairs, su):
+    return binning.bin_triangles(su, cfg, max_pairs)
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def _stage_shade(statics, vis_t, su, attrs_full, camera_pos, materials, atlas,
+                 light):
+    st = statics.settings
+    rgba = shade.shade(
+        jnp,
+        vis_t,
+        su,
+        attrs_full,
+        materials=materials if statics.has_materials else None,
+        atlas=atlas if statics.has_atlas else None,
+        light=light if statics.has_light else None,
+        camera_pos=camera_pos,
+        cfg=statics.cfg,
+        clear_color=st.clear_color,
+    )
+    return shade.resolve_and_pack(jnp, rgba, st.supersample, st.srgb_output)
+
+
+def render_frame_staged(
+    statics: FrameStatics,
+    positions, vert_obj, normals, colors, uvs,
+    tri_v, tri_obj, obj_material,
+    model_mats, mvp_mats, camera_pos,
+    materials, atlas, light,
+):
+    """Same signature/results as render_frame, via per-stage jits."""
+    cfg = statics.cfg
+    st = statics.settings
+    su, attrs_full, gstats = _stage_geometry(
+        cfg, st.clip_budget, positions, vert_obj, normals, colors, uvs,
+        tri_v, tri_obj, obj_material, model_mats, mvp_mats,
+    )
+    rec_i, rec_f, tile_start, tile_count, bstats = _stage_binning(
+        cfg, st.max_pairs, su
+    )
+    vis_d, vis_t = raster_pallas.rasterize_visibility(
+        rec_i, rec_f, tile_start, tile_count, cfg, interpret=statics.interpret
+    )
+    rgba8 = _stage_shade(
+        statics, vis_t, su, attrs_full, camera_pos, materials, atlas, light
+    )
+    aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats, **bstats}
+    return rgba8, aux

@@ -34,7 +34,7 @@ import numpy as np
 from .camera import Camera
 from .config import RendererSettings, derive_raster_config
 from .oracle.raster_cpu import compose_mvp
-from .pipeline import FrameStatics, render_frame_jit
+from .pipeline import FrameStatics, render_frame_jit, render_frame_staged
 from .present import FrameRing
 from .rtypes import LightPack, MaterialsPack
 from .scene import Scene
@@ -158,7 +158,10 @@ class Renderer:
         view = camera.view_matrix()
         proj = camera.projection_matrix(st.render_width / st.render_height)
         mvp = compose_mvp(model_mats, view, proj)
-        rgba8, aux = render_frame_jit(
+        frame_fn = (
+            render_frame_staged if st.staged_pipeline else render_frame_jit
+        )
+        rgba8, aux = frame_fn(
             self.statics,
             self._buffers["positions"],
             self._buffers["vert_obj"],

@@ -96,8 +96,8 @@ def parity_gate() -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
-    ap.add_argument("--tris-n", type=int, default=708,
-                    help="terrain grid n (2*n^2 triangles)")
+    ap.add_argument("--subdiv", type=int, default=8,
+                    help="icosphere subdivisions (20*4^s triangles)")
     ap.add_argument("--small", action="store_true",
                     help="reduced scene for smoke testing")
     ap.add_argument("--skip-parity", action="store_true")
@@ -120,17 +120,23 @@ def main():
             log(f"parity gate error: {e!r}")
             parity_ok = False
 
-    n = 128 if args.small else args.tris_n
+    n = 4 if args.small else args.subdiv
     t0 = time.time()
-    scene, settings, cams = config4_million_tri(n=n)
+    scene, settings, cams = config4_million_tri(subdiv=n)
     n_tris = scene.meshes[0].num_triangles
     log(f"scene: {n_tris} triangles (built in {time.time()-t0:.1f}s)")
 
     r = Renderer(scene, settings)
     cam = cams[0]
+
+    def force(x):
+        # block_until_ready does not actually block on some remote backends;
+        # a tiny readback is the reliable completion fence
+        return np.asarray(x.ravel()[:4])
+
     t0 = time.time()
     rgba8, aux = r.render_frame(cam)
-    rgba8.block_until_ready()
+    force(rgba8)
     log(f"first frame (incl. compile): {time.time()-t0:.1f}s")
     log(
         f"valid tris: {int(aux['n_valid'])}, pairs: {int(aux['pairs_total'])},"
@@ -143,7 +149,7 @@ def main():
     t0 = time.time()
     for _ in range(nf):
         rgba8, aux = r.render_frame(cam)
-    rgba8.block_until_ready()
+    force(rgba8)
     dt = (time.time() - t0) / nf
     fps = 1.0 / dt
     log(f"steady state: {dt*1000:.1f} ms/frame = {fps:.2f} FPS")
