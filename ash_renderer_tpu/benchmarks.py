@@ -141,7 +141,7 @@ def config4_million_tri(subdiv: int = 8):
     cam = Camera()
     return (
         scene,
-        RendererSettings(width=1920, height=1080, max_pairs=1 << 21),
+        RendererSettings(width=1920, height=1080, max_pairs=1 << 20),
         [cam],
     )
 
@@ -159,7 +159,7 @@ def config4_terrain(n: int = 708):
     cam = Camera(position=np.array([0.0, -2.0, -6.0], F32))
     return (
         scene,
-        RendererSettings(width=1920, height=1080, max_pairs=1 << 21),
+        RendererSettings(width=1920, height=1080, max_pairs=1 << 20),
         [cam],
     )
 

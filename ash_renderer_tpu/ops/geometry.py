@@ -201,6 +201,33 @@ def _clip_polygons(cverts, avals, gx, gy):
     return buf[..., :4], buf[..., 4:], count
 
 
+def _vertex_post(clip, cfg: RasterConfig):
+    """Per-vertex snap + frustum outcode, packed (V, 8) i32.
+
+    Snapping and plane tests are per-vertex pure functions, so doing them
+    once per vertex (V lanes) and row-gathering the packed results per
+    triangle corner is ~6x less VPU work than per-corner recomputation at
+    T ~= 2V triangles — and bit-identical (same inputs, same spec formulas).
+    Outcode bit p set <=> plane p distance < 0 (oracle plane order)."""
+    cx, cy, cz, cw = clip[:, 0], clip[:, 1], clip[:, 2], clip[:, 3]
+    gx = F32(1.0 + 2.0 * cfg.guard_px / cfg.width)
+    gy = F32(1.0 + 2.0 * cfg.guard_px / cfg.height)
+    xi, yi, zq, iw = _snap_corner(cx, cy, cz, cw, cfg)
+    ds = (
+        cz, cw - cz,
+        gx * cw + cx, gx * cw - cx,
+        gy * cw + cy, gy * cw - cy,
+    )
+    outcode = jnp.zeros_like(xi)
+    for pi, d in enumerate(ds):
+        outcode = outcode | ((d < 0).astype(I32) << pi)
+    zero = jnp.zeros_like(xi)
+    return jnp.stack(
+        [xi, yi, zq, sm._bitcast_i32(iw, jnp), outcode, zero, zero, zero],
+        axis=1,
+    )
+
+
 def geometry_device(
     clip,
     attrs,
@@ -224,36 +251,19 @@ def geometry_device(
     vid = jnp.clip(tri_v, 0, nv_pad - 1)
     mat_id = obj_material[jnp.clip(tri_obj, 0, obj_material.shape[0] - 1)]
 
-    # flat per-corner row gathers + flat plane tests (see _snap_corner note)
-    corners_clip = [clip[vid[:, k]] for k in range(3)]  # 3x (T,4)
-    any_out_plane = [None] * 6
-    any_corner_out = None
-    for c in corners_clip:
-        x, y, z, w = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
-        ds = (
-            z, w - z,
-            F32(gx) * w + x, F32(gx) * w - x,
-            F32(gy) * w + y, F32(gy) * w - y,
-        )
-        for pi, dv in enumerate(ds):
-            neg = dv < 0
-            any_out_plane[pi] = (
-                neg if any_out_plane[pi] is None else any_out_plane[pi] & neg
-            )
-            any_corner_out = (
-                neg if any_corner_out is None else any_corner_out | neg
-            )
-    out_any = any_out_plane[0]
-    for m in any_out_plane[1:]:
-        out_any = out_any | m
-    all_in = ~any_corner_out
+    # per-vertex snap + outcodes once, then one packed row-gather per corner
+    vtx = _vertex_post(clip, cfg)  # (V, 8)
+    corner_pack = [vtx[vid[:, k]] for k in range(3)]  # 3x (T, 8)
+    oc0, oc1, oc2 = (c[:, 4] for c in corner_pack)
+    out_any = (oc0 & oc1 & oc2) != 0  # all corners outside one plane
+    all_in = (oc0 | oc1 | oc2) == 0
     fast = vid_ok & all_in
     needs_clip = vid_ok & ~all_in & ~out_any
 
-    # ---- fast path: direct snap on original triangles
+    # ---- fast path
     corner_snaps = tuple(
-        _snap_corner(c[:, 0], c[:, 1], c[:, 2], c[:, 3], cfg)
-        for c in corners_clip
+        (c[:, 0], c[:, 1], c[:, 2], sm._bitcast_f32(c[:, 3], jnp))
+        for c in corner_pack
     )
     main = _finish_tri(
         corner_snaps, (vid[:, 0], vid[:, 1], vid[:, 2]), mat_id, fast
@@ -267,7 +277,7 @@ def geometry_device(
     sel = jnp.nonzero(needs_clip, size=clip_budget, fill_value=-1)[0]
     sel_ok = sel >= 0
     sel_c = jnp.clip(sel, 0, t_in - 1)
-    cvb = jnp.stack([c[sel_c] for c in corners_clip], axis=1)  # (B,3,4)
+    cvb = clip[vid[sel_c]]  # (B,3,4) — small multi-dim gather, B=clip_budget
     ab = attrs[vid[sel_c]]  # (B,3,A)
     matb = mat_id[sel_c]
 
