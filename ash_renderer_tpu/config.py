@@ -90,6 +90,8 @@ class RasterConfig:
     tile_w: int
     # Triangles processed per block in the visibility kernel.
     tri_block: int = 128
+    # Inner-loop unroll factor for the per-triangle loop.
+    tri_unroll: int = 1
 
     @property
     def subpixel_scale(self) -> int:

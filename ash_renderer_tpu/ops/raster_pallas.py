@@ -149,7 +149,7 @@ def _kernel(
                         vis_d_ref[:] = jnp.where(better, d16, fb_d)
                         vis_t_ref[:] = jnp.where(better, tri_id, fb_t)
 
-            jax.lax.fori_loop(0, tb, tri_body, None)
+            jax.lax.fori_loop(0, tb, tri_body, None, unroll=cfg.tri_unroll)
 
         jax.lax.fori_loop(0, nblocks, block_body, None)
 

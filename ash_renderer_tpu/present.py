@@ -79,3 +79,63 @@ class FrameCollector:
 
     def __call__(self, frame: np.ndarray) -> None:
         self.frames.append(frame)
+
+
+class FrameLimiter:
+    """Present-mode pacing: the reference prefers MAILBOX (uncapped) and
+    falls back to FIFO (vsync-capped) — swapchain_components.rs:60-70.
+    "mailbox" returns immediately; "fifo" sleeps to hold refresh_rate."""
+
+    def __init__(self, mode: str = "mailbox", refresh_rate: float = 60.0):
+        if mode not in ("mailbox", "fifo"):
+            raise ValueError(f"unknown present mode {mode!r}")
+        self.mode = mode
+        self.period = 1.0 / refresh_rate
+        self._last = None
+
+    def pace(self) -> None:
+        import time
+
+        if self.mode == "mailbox":
+            return
+        now = time.perf_counter()
+        if self._last is not None:
+            wait = self.period - (now - self._last)
+            if wait > 0:
+                time.sleep(wait)
+        self._last = time.perf_counter()
+
+
+class TerminalViewer:
+    """Live preview in a terminal using half-block characters — the
+    headless stand-in for the reference's winit window (CPU-blit analogue).
+    Each character cell shows two pixels via fg/bg 24-bit color."""
+
+    def __init__(self, max_cols: int = 100, stream=None):
+        import sys as _sys
+
+        self.max_cols = max_cols
+        self.stream = stream or _sys.stdout
+        self._first = True
+
+    def __call__(self, frame: np.ndarray) -> None:
+        h, w = frame.shape[:2]
+        step = max(1, (w + self.max_cols - 1) // self.max_cols)
+        img = frame[:: 2 * step, ::step, :3]
+        top = img[0::2]
+        bot = img[1::2][: top.shape[0]]
+        top = top[: bot.shape[0]]
+        lines = []
+        for rt, rb in zip(top, bot):
+            line = []
+            for (tr, tg, tb_), (br, bg, bb) in zip(rt, rb):
+                line.append(
+                    f"\x1b[38;2;{tr};{tg};{tb_}m\x1b[48;2;{br};{bg};{bb}m▀"
+                )
+            lines.append("".join(line) + "\x1b[0m")
+        out = "\n".join(lines)
+        if not self._first:
+            self.stream.write(f"\x1b[{len(lines)}F")  # cursor up, redraw
+        self._first = False
+        self.stream.write(out + "\n")
+        self.stream.flush()
