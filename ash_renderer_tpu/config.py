@@ -129,7 +129,7 @@ _MAX_EXTENT_SUBPIX = (1 << 15) - 16  # keeps 2*extent^2 < 2^31 with headroom
 def derive_raster_config(
     width: int,
     height: int,
-    tile_h: int = 8,
+    tile_h: int = 16,
     tile_w: int = 128,
     guard_px: int = 32,
     tri_block: int = 128,
