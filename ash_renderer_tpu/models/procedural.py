@@ -120,14 +120,17 @@ def icosphere(subdivisions: int = 3, radius: float = 1.0) -> Mesh:
         verts = np.concatenate([verts, mids])
         a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
         ab, bc, ca = mid_id[:, 0], mid_id[:, 1], mid_id[:, 2]
-        faces = np.concatenate(
+        # interleave the 4 children per parent: preserves spatial locality in
+        # triangle order (meshlet building depends on it)
+        faces = np.stack(
             [
                 np.stack([a, ab, ca], 1),
                 np.stack([b, bc, ab], 1),
                 np.stack([c, ca, bc], 1),
                 np.stack([ab, bc, ca], 1),
-            ]
-        ).astype(np.int64)
+            ],
+            axis=1,
+        ).reshape(-1, 3).astype(np.int64)
     pos = (verts * radius).astype(F32)
     nrm = verts.astype(F32)
     u = (np.arctan2(verts[:, 2], verts[:, 0]) / (2 * np.pi) + 0.5).astype(F32)

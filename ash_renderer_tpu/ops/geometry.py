@@ -236,6 +236,8 @@ def geometry_device(
     obj_material,
     cfg: RasterConfig,
     clip_budget: int,
+    local_tri=None,
+    interpret: bool = False,
 ):
     """Full triangle setup on device; mirrors oracle geometry_oracle.
 
@@ -253,7 +255,14 @@ def geometry_device(
 
     # per-vertex snap + outcodes once, then one packed row-gather per corner
     vtx = _vertex_post(clip, cfg)  # (V, 8)
-    corner_pack = [vtx[vid[:, k]] for k in range(3)]  # 3x (T, 8)
+    if local_tri is not None:
+        # meshlet path: exact one-hot int8 MXU gather (6x the XLA gather)
+        from . import meshlet_gather
+
+        g3 = meshlet_gather.gather_corners(vtx, local_tri, interpret)
+        corner_pack = [g3[k] for k in range(3)]
+    else:
+        corner_pack = [vtx[vid[:, k]] for k in range(3)]  # 3x (T, 8)
     oc0, oc1, oc2 = (c[:, 4] for c in corner_pack)
     out_any = (oc0 & oc1 & oc2) != 0  # all corners outside one plane
     all_in = (oc0 | oc1 | oc2) == 0

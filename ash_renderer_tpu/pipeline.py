@@ -57,6 +57,7 @@ def render_frame(
     materials: Optional[MaterialsPack],
     atlas,
     light: Optional[LightPack],
+    local_tri=None,
 ):
     """Pure function of device arrays -> (rgba8, aux dict).  Jitted by the
     Renderer with `statics` as a static argument."""
@@ -67,7 +68,8 @@ def render_frame(
         positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
     )
     su, attrs_full, gstats = geometry.geometry_device(
-        clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget
+        clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget,
+        local_tri=local_tri, interpret=statics.interpret,
     )
     rec_i, rec_f, tile_start, tile_count, bstats = binning.bin_triangles(
         su, cfg, st.max_pairs
@@ -107,14 +109,18 @@ render_frame_jit = jax.jit(render_frame, static_argnames=("statics",))
 # the development-iteration mode (RendererSettings.staged_pipeline).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "clip_budget"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "clip_budget", "interpret")
+)
 def _stage_geometry(cfg, clip_budget, positions, vert_obj, normals, colors,
-                    uvs, tri_v, tri_obj, obj_material, model_mats, mvp_mats):
+                    uvs, tri_v, tri_obj, obj_material, model_mats, mvp_mats,
+                    local_tri=None, interpret=False):
     clip, attrs = geometry.transform_vertices(
         positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
     )
     return geometry.geometry_device(
-        clip, attrs, tri_v, tri_obj, obj_material, cfg, clip_budget
+        clip, attrs, tri_v, tri_obj, obj_material, cfg, clip_budget,
+        local_tri=local_tri, interpret=interpret,
     )
 
 
@@ -148,6 +154,7 @@ def render_frame_staged(
     tri_v, tri_obj, obj_material,
     model_mats, mvp_mats, camera_pos,
     materials, atlas, light,
+    local_tri=None,
 ):
     """Same signature/results as render_frame, via per-stage jits."""
     cfg = statics.cfg
@@ -155,6 +162,7 @@ def render_frame_staged(
     su, attrs_full, gstats = _stage_geometry(
         cfg, st.clip_budget, positions, vert_obj, normals, colors, uvs,
         tri_v, tri_obj, obj_material, model_mats, mvp_mats,
+        local_tri=local_tri, interpret=statics.interpret,
     )
     rec_i, rec_f, tile_start, tile_count, bstats = _stage_binning(
         cfg, st.max_pairs, su

@@ -87,6 +87,7 @@ class Renderer:
             tri_v=put(packed.tri_v),
             tri_obj=put(packed.tri_obj),
             obj_material=put(packed.obj_material),
+            local_tri=put(packed.local_tri),
         )
         self.materials = MaterialsPack(
             base_color=put(
@@ -177,6 +178,7 @@ class Renderer:
             self.materials,
             self.atlas,
             self.light,
+            self._buffers["local_tri"],
         )
         self.stats.record_dispatch(time.perf_counter() - t0)
         return rgba8, aux

@@ -135,6 +135,78 @@ class Scene:
         return PackedScene.from_scene(self)
 
 
+MESHLET_TRIS = 128
+MESHLET_VERTS = 128
+
+
+def build_meshlets(tri_v: np.ndarray, num_vertices: int):
+    """Greedy meshlet clustering: group triangles so each group references
+    <= MESHLET_VERTS distinct vertices, emitting per-meshlet local (int7)
+    corner indices and a duplicated, meshlet-contiguous vertex remap.
+
+    Why: the device's triangle-corner assembly gathers per-corner vertex
+    data; with meshlet-local indices the gather becomes an exact one-hot
+    int8 MXU matmul over a 128-row VMEM table (measured 6x faster than
+    XLA's scalar-path gather; experiments/onehot_gather_probe.py).
+
+    Returns (vertex_src (Vm,), local_tri (Tm, 3) int32, tri_perm (Tm,))
+    where Vm = n_meshlets * MESHLET_VERTS (entries index the ORIGINAL
+    vertex buffer; padding rows repeat index 0), Tm = n_meshlets *
+    MESHLET_TRIS (tri_perm = -1 on padding rows, else the original
+    triangle id).
+    """
+    t_real = [t for t in range(len(tri_v)) if tri_v[t, 0] >= 0]
+    vertex_src: list[int] = []
+    local_tri = []
+    tri_perm = []
+
+    cur_map: dict[int, int] = {}
+    cur_tris: list[tuple[int, list[int]]] = []
+
+    def flush():
+        nonlocal cur_map, cur_tris
+        if not cur_tris:
+            return
+        base = len(vertex_src)
+        inv = [0] * MESHLET_VERTS
+        for g, l in cur_map.items():
+            inv[l] = g
+        used = len(cur_map)
+        vertex_src.extend(inv[:used])
+        vertex_src.extend([0] * (MESHLET_VERTS - used))
+        for orig_t, loc in cur_tris:
+            local_tri.append(loc)
+            tri_perm.append(orig_t)
+        pad = MESHLET_TRIS - len(cur_tris)
+        local_tri.extend([[0, 0, 0]] * pad)
+        tri_perm.extend([-1] * pad)
+        cur_map = {}
+        cur_tris = []
+
+    for t in t_real:
+        corners = [int(v) for v in tri_v[t]]
+        new = [v for v in set(corners) if v not in cur_map]
+        if (
+            len(cur_map) + len(new) > MESHLET_VERTS
+            or len(cur_tris) >= MESHLET_TRIS
+        ):
+            flush()
+            new = list(set(corners))
+        for v in new:
+            cur_map[v] = len(cur_map)
+        cur_tris.append((t, [cur_map[v] for v in corners]))
+    flush()
+    if not tri_perm:  # degenerate empty scene: one padding meshlet
+        vertex_src = [0] * MESHLET_VERTS
+        local_tri = [[0, 0, 0]] * MESHLET_TRIS
+        tri_perm = [-1] * MESHLET_TRIS
+    return (
+        np.asarray(vertex_src, dtype=_I32),
+        np.asarray(local_tri, dtype=_I32).reshape(-1, 3),
+        np.asarray(tri_perm, dtype=_I32),
+    )
+
+
 @dataclasses.dataclass
 class PackedScene:
     """Flattened, padded SoA buffers ready for device upload.
@@ -152,10 +224,15 @@ class PackedScene:
     vert_obj: np.ndarray  # (V,) i32 — owning object per packed vertex copy
     tri_v: np.ndarray  # (T, 3) i32 global vertex ids (-1 rows = padding)
     tri_obj: np.ndarray  # (T,) i32
+    local_tri: np.ndarray  # (T, 3) i32 meshlet-local corner ids in [0, 128)
     obj_material: np.ndarray  # (O,) i32
     num_vertices: int
     num_triangles: int
     has_normals: bool
+
+    @property
+    def n_meshlets(self) -> int:
+        return self.tri_v.shape[0] // MESHLET_TRIS
 
     @staticmethod
     def from_scene(scene: Scene) -> "PackedScene":
@@ -174,39 +251,53 @@ class PackedScene:
             vtx_base += m.num_vertices
         if not pos:
             raise ValueError("empty scene")
-        positions = np.concatenate(pos)
-        nv = len(positions)
-        nt = sum(len(t) for t in tri)
-        vpad = -nv % VERTEX_PAD
-        tpad = -nt % TRI_PAD
+        positions0 = np.concatenate(pos)
+        colors0 = np.concatenate(col)
+        normals0 = np.concatenate(nrm)
+        uvs0 = np.concatenate(uv)
+        vert_obj0 = np.concatenate(vobj)
+        tri_v0 = np.concatenate(tri).astype(_I32)
+        tri_obj0 = np.concatenate(tobj).astype(_I32)
+        nt = len(tri_v0)
 
-        def padv(a, w):
-            return np.concatenate([a, np.zeros((vpad, w), dtype=_F32)])
-
-        positions = padv(positions, 3)
-        colors = padv(np.concatenate(col), 4)
-        normals = padv(np.concatenate(nrm), 3)
-        uvs = padv(np.concatenate(uv), 2)
-        vert_obj = np.concatenate(vobj + [np.zeros(vpad, dtype=_I32)])
-        tri_v = np.concatenate(
-            tri + [np.full((tpad, 3), -1, dtype=_I32)]
+        # Meshletize: the canonical packed order is meshlet order, with
+        # vertices duplicated meshlet-contiguously.  Both the device's
+        # one-hot MXU corner gather AND the oracle consume this same
+        # layout, so draw-order semantics agree by construction.
+        vertex_src, local_tri, tri_perm = build_meshlets(
+            tri_v0, len(positions0)
+        )
+        tm = len(tri_perm)
+        vm = len(vertex_src)
+        base = (
+            np.repeat(np.arange(tm // MESHLET_TRIS, dtype=_I32), MESHLET_TRIS)[
+                :, None
+            ]
+            * MESHLET_VERTS
+        )
+        tri_v = np.where(tri_perm[:, None] >= 0, base + local_tri, -1).astype(
+            _I32
+        )
+        tri_obj = np.where(
+            tri_perm >= 0, tri_obj0[np.clip(tri_perm, 0, max(nt - 1, 0))], 0
         ).astype(_I32)
-        tri_obj = np.concatenate(tobj + [np.zeros(tpad, dtype=_I32)]).astype(_I32)
+
         has_normals = any(
             np.any(scene.meshes[o.mesh].normals != 0) for o in scene.objects
         )
         return PackedScene(
-            positions=positions,
-            colors=colors,
-            normals=normals,
-            uvs=uvs,
-            vert_obj=vert_obj,
+            positions=positions0[vertex_src],
+            colors=colors0[vertex_src],
+            normals=normals0[vertex_src],
+            uvs=uvs0[vertex_src],
+            vert_obj=vert_obj0[vertex_src],
             tri_v=tri_v,
             tri_obj=tri_obj,
+            local_tri=local_tri,
             obj_material=np.array(
                 [o.material for o in scene.objects], dtype=_I32
             ),
-            num_vertices=nv,
+            num_vertices=vm,
             num_triangles=nt,
             has_normals=has_normals,
         )

@@ -80,6 +80,7 @@ def run_device(scene, settings, camera, atlas=None):
         mats,
         atlas,
         light,
+        jnp.asarray(packed.local_tri),  # exercises the meshlet gather path
     )
     return np.asarray(rgba8), {k: np.asarray(v) for k, v in aux.items()}
 
