@@ -49,7 +49,7 @@ def _slab_pipeline(
     positions, vert_obj, normals, colors, uvs,
     tri_v, tri_obj, obj_material,
     model_mats, mvp_mats, camera_pos,
-    materials, atlas, light,
+    materials, atlas, light, local_tri,
 ):
     """Per-device body (runs under shard_map): renders this device's slab."""
     cfg = statics.cfg
@@ -62,7 +62,8 @@ def _slab_pipeline(
         positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
     )
     su, attrs_full, _ = geometry.geometry_device(
-        clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget
+        clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget,
+        local_tri=local_tri, interpret=statics.interpret,
     )
     # windowed binning: static window size (rows_per), traced row origin
     rec_i, rec_f, tile_start, tile_count, _ = binning.bin_triangles(
@@ -95,7 +96,7 @@ def render_frame_sharded(
     positions, vert_obj, normals, colors, uvs,
     tri_v, tri_obj, obj_material,
     model_mats, mvp_mats, camera_pos,
-    materials=None, atlas=None, light=None,
+    materials=None, atlas=None, light=None, local_tri=None,
 ):
     """Full-frame multi-chip render.  The framebuffer comes back sharded over
     mesh axis "rows" (display-resolution rows); jax assembles on readback.
@@ -118,7 +119,7 @@ def render_frame_sharded(
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple([spec_repl] * 14),
+        in_specs=tuple([spec_repl] * 15),
         out_specs=P("rows", None, None),
         check_vma=False,
     )
@@ -126,5 +127,5 @@ def render_frame_sharded(
         positions, vert_obj, normals, colors, uvs,
         tri_v, tri_obj, obj_material,
         model_mats, mvp_mats, camera_pos,
-        materials, atlas, light,
+        materials, atlas, light, local_tri,
     )

@@ -87,7 +87,9 @@ class Renderer:
             tri_v=put(packed.tri_v),
             tri_obj=put(packed.tri_obj),
             obj_material=put(packed.obj_material),
-            local_tri=put(packed.local_tri),
+            local_tri=(
+                put(packed.local_tri) if packed.local_tri is not None else None
+            ),
         )
         self.materials = MaterialsPack(
             base_color=put(

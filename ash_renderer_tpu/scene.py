@@ -131,8 +131,14 @@ class Scene:
     def model_matrices(self) -> np.ndarray:
         return np.stack([o.model for o in self.objects]).astype(_F32)
 
-    def pack(self) -> "PackedScene":
-        return PackedScene.from_scene(self)
+    def pack(self, meshlets: bool = False) -> "PackedScene":
+        """meshlets=True reorders packing into 128-triangle meshlets with
+        duplicated local vertex windows, enabling the exact one-hot MXU
+        corner gather (ops/meshlet_gather).  Off by default: the current
+        integration is at cost parity with plain XLA gathers (the win is
+        realized with the round-2 in-kernel layouts), and it doubles vertex
+        buffers."""
+        return PackedScene.from_scene(self, meshlets=meshlets)
 
 
 MESHLET_TRIS = 128
@@ -224,7 +230,7 @@ class PackedScene:
     vert_obj: np.ndarray  # (V,) i32 — owning object per packed vertex copy
     tri_v: np.ndarray  # (T, 3) i32 global vertex ids (-1 rows = padding)
     tri_obj: np.ndarray  # (T,) i32
-    local_tri: np.ndarray  # (T, 3) i32 meshlet-local corner ids in [0, 128)
+    local_tri: "np.ndarray | None"  # (T,3) i32 meshlet-local ids, or None
     obj_material: np.ndarray  # (O,) i32
     num_vertices: int
     num_triangles: int
@@ -235,7 +241,7 @@ class PackedScene:
         return self.tri_v.shape[0] // MESHLET_TRIS
 
     @staticmethod
-    def from_scene(scene: Scene) -> "PackedScene":
+    def from_scene(scene: Scene, meshlets: bool = False) -> "PackedScene":
         pos, col, nrm, uv, vobj = [], [], [], [], []
         tri, tobj = [], []
         vtx_base = 0
@@ -259,6 +265,39 @@ class PackedScene:
         tri_v0 = np.concatenate(tri).astype(_I32)
         tri_obj0 = np.concatenate(tobj).astype(_I32)
         nt = len(tri_v0)
+        has_normals = any(
+            np.any(scene.meshes[o.mesh].normals != 0) for o in scene.objects
+        )
+        obj_material = np.array([o.material for o in scene.objects], dtype=_I32)
+
+        if not meshlets:
+            nv = len(positions0)
+            vpad = -nv % VERTEX_PAD
+            tpad = -nt % TRI_PAD
+
+            def padv(a, w):
+                return np.concatenate([a, np.zeros((vpad, w), dtype=_F32)])
+
+            return PackedScene(
+                positions=padv(positions0, 3),
+                colors=padv(colors0, 4),
+                normals=padv(normals0, 3),
+                uvs=padv(uvs0, 2),
+                vert_obj=np.concatenate(
+                    [vert_obj0, np.zeros(vpad, dtype=_I32)]
+                ),
+                tri_v=np.concatenate(
+                    [tri_v0, np.full((tpad, 3), -1, dtype=_I32)]
+                ).astype(_I32),
+                tri_obj=np.concatenate(
+                    [tri_obj0, np.zeros(tpad, dtype=_I32)]
+                ).astype(_I32),
+                local_tri=None,
+                obj_material=obj_material,
+                num_vertices=nv,
+                num_triangles=nt,
+                has_normals=has_normals,
+            )
 
         # Meshletize: the canonical packed order is meshlet order, with
         # vertices duplicated meshlet-contiguously.  Both the device's
@@ -282,9 +321,6 @@ class PackedScene:
             tri_perm >= 0, tri_obj0[np.clip(tri_perm, 0, max(nt - 1, 0))], 0
         ).astype(_I32)
 
-        has_normals = any(
-            np.any(scene.meshes[o.mesh].normals != 0) for o in scene.objects
-        )
         return PackedScene(
             positions=positions0[vertex_src],
             colors=colors0[vertex_src],
@@ -294,9 +330,7 @@ class PackedScene:
             tri_v=tri_v,
             tri_obj=tri_obj,
             local_tri=local_tri,
-            obj_material=np.array(
-                [o.material for o in scene.objects], dtype=_I32
-            ),
+            obj_material=obj_material,
             num_vertices=vm,
             num_triangles=nt,
             has_normals=has_normals,

@@ -70,10 +70,11 @@ def test_sharded_matches_single_device(n_dev):
         jnp.asarray(mm), jnp.asarray(mvp),
         jnp.asarray(cam.position.astype(np.float32)),
     )
-    single, aux = render_frame_jit(statics, *arrs, mats, None, None)
+    local_tri = None
+    single, aux = render_frame_jit(statics, *arrs, mats, None, None, local_tri)
     sharded = jax.jit(
         lambda *a: render_frame_sharded(statics, mesh, *a)
-    )(*arrs, mats, None, None)
+    )(*arrs, mats, None, None, local_tri)
     assert (np.asarray(aux["vis_tri"]) >= 0).sum() > 50
     np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
 
