@@ -30,10 +30,26 @@ I32 = np.int32
 
 def _take(arr, idx, xp):
     """Clipped gather along axis 0 (identical OOB behavior on both backends).
-    Coerces constant (numpy) tables to the backend so traced indices work."""
+    Coerces constant (numpy) tables to the backend so traced indices work.
+
+    Tables with few rows use a select-accumulation instead: XLA:TPU lowers
+    general gathers to the scalar path (~22 ns/index), while a K-way select
+    tree is pure VPU — ~10x faster for the per-pixel mip/texture table
+    lookups (K <= ~32), and bit-identical (selects copy values)."""
     arr = xp.asarray(arr)
     n = arr.shape[0]
-    return arr[xp.clip(idx, 0, n - 1)]
+    idx = xp.clip(idx, 0, n - 1)
+    if n <= 32 and arr.ndim == 1:
+        out = xp.broadcast_to(arr[0], idx.shape)
+        for k in range(1, n):
+            out = xp.where(idx == k, arr[k], out)
+        return out
+    if n <= 32 and arr.ndim == 2:
+        out = xp.broadcast_to(arr[0], idx.shape + arr.shape[1:])
+        for k in range(1, n):
+            out = xp.where((idx == k)[..., None], arr[k], out)
+        return out
+    return arr[idx]
 
 
 def _edges_at_pixels(su_g, px, py, cfg: RasterConfig, xp):
