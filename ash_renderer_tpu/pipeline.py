@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import RasterConfig, RendererSettings, derive_raster_config
-from .ops import binning, geometry, raster_pallas, shade
+from .ops import binning, geometry, raster_lanes, raster_pallas, shade
 from .rtypes import LightPack, MaterialsPack
 from .scene import PackedScene, Scene
 
@@ -74,7 +74,12 @@ def render_frame(
     rec_i, rec_f, tile_start, tile_count, bstats = binning.bin_triangles(
         su, cfg, st.max_pairs
     )
-    vis_d, vis_t = raster_pallas.rasterize_visibility(
+    raster_fn = (
+        raster_lanes.rasterize_visibility_lanes
+        if cfg.lane_kernel
+        else raster_pallas.rasterize_visibility
+    )
+    vis_d, vis_t = raster_fn(
         rec_i, rec_f, tile_start, tile_count, cfg, interpret=statics.interpret
     )
     rgba = shade.shade(
