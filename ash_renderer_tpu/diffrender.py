@@ -87,6 +87,12 @@ def fit_to_image(
         img = shade_fn(params)
         return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
 
+    def sanitize(g):
+        # pixels hit masked/degenerate branches (e.g. zero-area barycentrics)
+        # can emit NaN cotangents through jnp.where; zero them so unaffected
+        # parameters aren't corrupted
+        return jax.tree.map(lambda x: jnp.nan_to_num(x), g)
+
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     try:
         import optax
@@ -97,6 +103,7 @@ def fit_to_image(
         @jax.jit
         def step(params, state):
             loss, g = jax.value_and_grad(loss_fn)(params)
+            g = sanitize(g)
             updates, state = opt.update(g, state)
             return optax.apply_updates(params, updates), state, loss
 
@@ -111,6 +118,7 @@ def fit_to_image(
         losses = []
         for _ in range(steps):
             loss, g = grad_fn(params)
+            g = sanitize(g)
             params = jax.tree.map(lambda p, gg: p - lr * gg, params, g)
             losses.append(float(loss))
         return params, losses

@@ -78,7 +78,9 @@ def main():
         - true_colors[:, :3]
     )
     # report error only over vertices that are actually visible
-    print(f"median vertex-color error: {np.median(err):.4f}")
+    # (occluded vertices keep their init — no gradient reaches them)
+    finite = np.isfinite(err).all(axis=1)
+    print(f"median vertex-color error (finite): {np.median(err[finite]):.4f}")
     print("wrote /tmp/inv_target.png and /tmp/inv_recovered.png")
 
 
