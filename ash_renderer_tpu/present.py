@@ -139,3 +139,17 @@ class TerminalViewer:
         self._first = False
         self.stream.write(out + "\n")
         self.stream.flush()
+
+
+def write_gif(path: str, frames: list, fps: int = 20) -> None:
+    """Animated GIF from RGBA8 frames (flythrough videos) via PIL."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(f, mode="RGBA").convert("P") for f in frames]
+    imgs[0].save(
+        path,
+        save_all=True,
+        append_images=imgs[1:],
+        duration=max(1000 // fps, 20),
+        loop=0,
+    )
