@@ -132,8 +132,12 @@ class Renderer:
     # ----- public API ----------------------------------------------------
     def update_settings(self, settings: RendererSettings, scene: Scene = None):
         """Rebuild the whole settings-dependent world
-        (update_user_settings analogue)."""
+        (update_user_settings analogue, renderer.rs:624-627) — including
+        re-selecting the device when the preference changed (the reference's
+        switch-GPU path re-creates the logical device on the new adapter)."""
         self.ring.drain()
+        if settings.preferred_device_index != self.settings.preferred_device_index:
+            self.device = select_device(settings)
         self._build_settings_dependent(scene or self.scene, settings)
 
     def resize(self, width: int, height: int):

@@ -96,6 +96,9 @@ def parity_gate() -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--config", default="config4_million_tri",
+                    help="benchmark config name (see ash_renderer_tpu."
+                         "benchmarks.ALL_CONFIGS)")
     ap.add_argument("--subdiv", type=int, default=8,
                     help="icosphere subdivisions (20*4^s triangles)")
     ap.add_argument("--small", action="store_true",
@@ -106,7 +109,7 @@ def main():
     import jax
 
     from ash_renderer_tpu import Camera, RendererSettings
-    from ash_renderer_tpu.benchmarks import config4_million_tri
+    from ash_renderer_tpu.benchmarks import ALL_CONFIGS, config4_million_tri
     from ash_renderer_tpu.renderer import Renderer
 
     backend = jax.default_backend()
@@ -120,10 +123,13 @@ def main():
             log(f"parity gate error: {e!r}")
             parity_ok = False
 
-    n = 4 if args.small else args.subdiv
     t0 = time.time()
-    scene, settings, cams = config4_million_tri(subdiv=n)
-    n_tris = scene.meshes[0].num_triangles
+    if args.config == "config4_million_tri":
+        n = 4 if args.small else args.subdiv
+        scene, settings, cams = config4_million_tri(subdiv=n)
+    else:
+        scene, settings, cams = ALL_CONFIGS[args.config]()
+    n_tris = sum(m.num_triangles for m in scene.meshes)
     log(f"scene: {n_tris} triangles (built in {time.time()-t0:.1f}s)")
 
     r = Renderer(scene, settings)
@@ -158,7 +164,7 @@ def main():
     result = {
         "metric": (
             f"frames/sec at {settings.width}x{settings.height} on "
-            f"{n_tris}-tri textured+lit scene"
+            f"{args.config} ({n_tris} tris)"
             + ("" if parity_ok else " [PARITY GATE FAILED]")
         ),
         "value": value,
