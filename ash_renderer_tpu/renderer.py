@@ -118,6 +118,17 @@ class Renderer:
     # ----- resize-dependent tier ----------------------------------------
     def _build_resize_dependent(self):
         st = self.settings
+        # Scene-adaptive pair budget: binning's fixed-shape passes scale with
+        # the static budget, so cap it by triangle count (8x headroom, floor
+        # 16k) instead of paying the worst-case budget on small scenes.
+        # settings.max_pairs remains the explicit ceiling; overflow is
+        # counted in aux/pairs_overflow and surfaced by the debug validator.
+        t = self.packed.tri_v.shape[0]
+        eff_pairs = min(
+            st.max_pairs, max(1 << 14, -(-8 * t // 128) * 128)
+        )
+        if eff_pairs != st.max_pairs:
+            st = dataclasses.replace(st, max_pairs=eff_pairs)
         self.cfg = derive_raster_config(st.render_width, st.render_height)
         self.statics = FrameStatics(
             cfg=self.cfg,
