@@ -20,4 +20,18 @@ from .scene import (  # noqa: F401
     reference_two_triangle_scene,
 )
 
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "Renderer":
+        from .renderer import Renderer
+
+        return Renderer
+    if name == "App":
+        from .app import App
+
+        return App
+    raise AttributeError(f"module 'ash_renderer_tpu' has no attribute {name!r}")
+
+
 __version__ = "0.1.0"
