@@ -107,8 +107,17 @@ def sample_texture(
     iv1w = xp.mod(iv0 + 1, h)
 
     def tap(iu, iv):
-        t = _take(atlas.texels, off + iv * w + iu, xp)
-        return t.astype(F32) * F32(1.0 / 255.0)
+        t32 = _take(atlas.texels, off + iv * w + iu, xp)
+        # unpack packed-RGBA int32 with exact integer shifts
+        return xp.stack(
+            [
+                ((t32 >> 0) & 255).astype(F32) * F32(1.0 / 255.0),
+                ((t32 >> 8) & 255).astype(F32) * F32(1.0 / 255.0),
+                ((t32 >> 16) & 255).astype(F32) * F32(1.0 / 255.0),
+                ((t32 >> 24) & 255).astype(F32) * F32(1.0 / 255.0),
+            ],
+            axis=-1,
+        )
 
     c00 = tap(iu0w, iv0w)
     c10 = tap(iu1w, iv0w)

@@ -62,9 +62,14 @@ def build_mip_chain(img: np.ndarray) -> list[np.ndarray]:
 @register_pytree_dataclass
 @dataclasses.dataclass
 class TextureAtlas:
-    """Flat atlas: every mip level of every texture appended row-major."""
+    """Flat atlas: every mip level of every texture appended row-major.
 
-    texels: object  # (N, 4) uint8
+    Texels are packed one int32 per texel (r | g<<8 | b<<16 | a<<24):
+    a u8[N,4] layout gathers ~2.4x slower on TPU than an s32[N] gather
+    (byte-tiled (4,1) minor layout costs per-byte accesses), and shading
+    unpacks with exact integer shifts."""
+
+    texels: object  # (N,) int32 packed RGBA
     level_offset: object  # (M, MAX_LEVELS) i32 texel offsets
     level_w: object  # (M, MAX_LEVELS) i32
     level_h: object  # (M, MAX_LEVELS) i32
@@ -96,8 +101,12 @@ class TextureAtlas:
                 lh[ti, li] = lh[ti, len(chain) - 1]
         if not texels:
             texels = [np.zeros((1, 4), dtype=np.uint8)]
+        t8 = np.concatenate(texels, axis=0).astype(np.uint32)
+        packed = (
+            t8[:, 0] | (t8[:, 1] << 8) | (t8[:, 2] << 16) | (t8[:, 3] << 24)
+        ).astype(np.uint32).view(np.int32)
         return TextureAtlas(
-            texels=np.concatenate(texels, axis=0),
+            texels=packed,
             level_offset=off,
             level_w=lw,
             level_h=lh,

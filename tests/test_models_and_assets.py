@@ -182,7 +182,7 @@ def test_atlas_tables():
     assert int(atlas.level_w[0, 0]) == 16
     assert int(atlas.level_w[0, 4]) == 1
     total = (16 * 16 + 8 * 8 + 4 * 4 + 2 * 2 + 1) + (8 * 8 + 16 + 4 + 1)
-    assert atlas.texels.shape == (total, 4)
+    assert atlas.texels.shape == (total,)  # packed int32 RGBA
 
 
 def test_non_pot_texture_single_level():
