@@ -102,12 +102,15 @@ def sample_texture(
     fu = ut - iu0.astype(F32)
     fv = vt - iv0.astype(F32)
     iu0w = xp.mod(iu0, w)
-    iu1w = xp.mod(iu0 + 1, w)
     iv0w = xp.mod(iv0, h)
-    iv1w = xp.mod(iv0 + 1, h)
 
-    def tap(iu, iv):
-        t32 = _take(atlas.texels, off + iv * w + iu, xp)
+    # ONE row-gather fetches the whole 2x2 bilinear footprint: the quad
+    # table stores [texel, right, down, downright] with the same wrap
+    # addressing the four separate taps used (textures.build_quads), so the
+    # values — and the interpolation below — are bit-identical.
+    quad = _take(atlas.quads, off + iv0w * w + iu0w, xp)  # (..., 4) i32
+
+    def unpack(t32):
         # unpack packed-RGBA int32 with exact integer shifts
         return xp.stack(
             [
@@ -119,10 +122,10 @@ def sample_texture(
             axis=-1,
         )
 
-    c00 = tap(iu0w, iv0w)
-    c10 = tap(iu1w, iv0w)
-    c01 = tap(iu0w, iv1w)
-    c11 = tap(iu1w, iv1w)
+    c00 = unpack(quad[..., 0])
+    c10 = unpack(quad[..., 1])
+    c01 = unpack(quad[..., 2])
+    c11 = unpack(quad[..., 3])
     top = sm.lerp(c00, c10, fu[..., None])
     bot = sm.lerp(c01, c11, fu[..., None])
     return sm.lerp(top, bot, fv[..., None])

@@ -83,8 +83,19 @@ def load_scene(path: str) -> tuple[Scene, list[Camera]]:
             SceneObject(mesh=int(mi), material=int(mat), model=model)
         )
     if meta["has_atlas"]:
+        from .textures import build_quads
+
+        # quads are derived data: rebuild on load (keeps the .npz format
+        # stable and 4x smaller than persisting them)
         scene.atlas = TextureAtlas(
             texels=data["atlas_texels"],
+            quads=build_quads(
+                data["atlas_texels"],
+                data["atlas_level_offset"],
+                data["atlas_level_w"],
+                data["atlas_level_h"],
+                data["atlas_n_levels"],
+            ),
             level_offset=data["atlas_level_offset"],
             level_w=data["atlas_level_w"],
             level_h=data["atlas_level_h"],
