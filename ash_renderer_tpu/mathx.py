@@ -83,7 +83,7 @@ def perspective(aspect: float, fovy: float, znear: float, zfar: float) -> np.nda
 
     Produces an OpenGL-style clip volume: ``z_ndc = -1`` at znear, ``+1`` at
     zfar, ``w_clip = -z_view``.  Under Vulkan's clip rule (0 <= z_c <= w_c)
-    the front half of that range is clipped; see ``ops/vertex.py`` for how the
+    the front half of that range is clipped; see ``ops/geometry.py`` for how the
     rasterizer reproduces those exact clip semantics.
     """
     f = _F32(1.0) / np.tan(_F32(fovy) / _F32(2.0), dtype=_F32)

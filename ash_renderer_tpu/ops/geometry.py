@@ -348,5 +348,8 @@ def geometry_device(
         "n_fast": jnp.sum(fast.astype(I32)),
         "n_clipped": jnp.sum(needs_clip.astype(I32)),
         "n_valid": jnp.sum(su.valid.astype(I32)),
+        # static setup-row count: the valid range for visibility-buffer
+        # triangle ids (utils/debugging.validate_frame range check)
+        "n_setup": jnp.int32(su.valid.shape[0]),
     }
     return su, combined_attrs, stats

@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RasterConfig, RendererSettings
-from ..ops import binning, geometry, raster_pallas, shade
+from ..ops import binning, geometry, shade
 
 F32 = np.float32
 
@@ -65,11 +65,18 @@ def _slab_pipeline(
         clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget,
         local_tri=local_tri, interpret=statics.interpret,
     )
-    # windowed binning: static window size (rows_per), traced row origin
-    rec_i, rec_f, tile_start, tile_count, _ = binning.bin_triangles(
-        su, cfg, st.max_pairs // n_dev, tile_row0, rows_per
+    # Windowed binning: static window size (rows_per), traced row origin.
+    # Each slab gets the FULL pair budget: a slab's pairs are a subset of the
+    # full frame's, so any scene that fits the single-device budget fits every
+    # slab's — dividing by n_dev could overflow a slab that concentrates the
+    # geometry while the single-device path does not, silently breaking the
+    # sharded == single-device bitwise contract.
+    rec_i, rec_f, tile_start, tile_count, bstats = binning.bin_triangles(
+        su, cfg, st.max_pairs, tile_row0, rows_per
     )
-    vis_d, vis_t = raster_pallas.rasterize_visibility(
+    from ..pipeline import _raster_fn
+
+    vis_d, vis_t = _raster_fn(cfg)(
         rec_i, rec_f, tile_start, tile_count, cfg,
         interpret=statics.interpret, tile_rows=rows_per,
     )
@@ -87,7 +94,11 @@ def _slab_pipeline(
         py_offset=tile_row0 * cfg.tile_h,
     )
     rgba8 = shade.resolve_and_pack(jnp, rgba, st.supersample, st.srgb_output)
-    return rgba8
+    # surface per-slab budget overflows (worst across slabs via the replicated
+    # max below) instead of discarding them — a slab overflow means dropped
+    # triangles and must be visible to debugging.validate_frame
+    overflow = jax.lax.pmax(bstats["pairs_overflow"], "rows")
+    return rgba8, overflow
 
 
 def render_frame_sharded(
@@ -100,6 +111,8 @@ def render_frame_sharded(
 ):
     """Full-frame multi-chip render.  The framebuffer comes back sharded over
     mesh axis "rows" (display-resolution rows); jax assembles on readback.
+    Returns (rgba8, stats) with stats["pairs_overflow"] = the worst per-slab
+    pair-budget overflow (0 means no triangles were dropped anywhere).
 
     Requires cfg.grid_h % n_devices == 0 and the display height divisible by
     n_devices * tile_h * supersample (pad the resolution otherwise).
@@ -120,12 +133,13 @@ def render_frame_sharded(
         body,
         mesh=mesh,
         in_specs=tuple([spec_repl] * 15),
-        out_specs=P("rows", None, None),
+        out_specs=(P("rows", None, None), spec_repl),
         check_vma=False,
     )
-    return fn(
+    rgba8, overflow = fn(
         positions, vert_obj, normals, colors, uvs,
         tri_v, tri_obj, obj_material,
         model_mats, mvp_mats, camera_pos,
         materials, atlas, light, local_tri,
     )
+    return rgba8, {"pairs_overflow": overflow}

@@ -29,6 +29,16 @@ F32 = np.float32
 I32 = np.int32
 
 
+def _raster_fn(cfg: RasterConfig):
+    """The configured visibility kernel — ONE switch honored by both the
+    fused and the staged pipelines (the kernels are bit-identical)."""
+    return (
+        raster_lanes.rasterize_visibility_lanes
+        if cfg.lane_kernel
+        else raster_pallas.rasterize_visibility
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class FrameStatics:
     """Static (hashable) configuration captured by the jit trace."""
@@ -74,12 +84,7 @@ def render_frame(
     rec_i, rec_f, tile_start, tile_count, bstats = binning.bin_triangles(
         su, cfg, st.max_pairs
     )
-    raster_fn = (
-        raster_lanes.rasterize_visibility_lanes
-        if cfg.lane_kernel
-        else raster_pallas.rasterize_visibility
-    )
-    vis_d, vis_t = raster_fn(
+    vis_d, vis_t = _raster_fn(cfg)(
         rec_i, rec_f, tile_start, tile_count, cfg, interpret=statics.interpret
     )
     rgba = shade.shade(
@@ -172,7 +177,7 @@ def render_frame_staged(
     rec_i, rec_f, tile_start, tile_count, bstats = _stage_binning(
         cfg, st.max_pairs, su
     )
-    vis_d, vis_t = raster_pallas.rasterize_visibility(
+    vis_d, vis_t = _raster_fn(cfg)(
         rec_i, rec_f, tile_start, tile_count, cfg, interpret=statics.interpret
     )
     rgba8 = _stage_shade(

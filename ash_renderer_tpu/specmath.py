@@ -249,15 +249,27 @@ def _bitcast_f32(x, xp):
 
 
 def recip_spec(x, xp):
-    """Deterministic ~2-ulp reciprocal of finite nonzero x (any sign)."""
-    bits = _bitcast_i32(x, xp)
-    sign = bits & I32(-2147483648)
-    mag = bits & I32(0x7FFFFFFF)
-    r = _bitcast_f32(I32(0x7EF311C3) - mag, xp)
-    ax = _bitcast_f32(mag, xp)
-    for _ in range(3):
-        r = r * (F32(2.0) - ax * r)
-    return _bitcast_f32(_bitcast_i32(r, xp) ^ sign, xp)
+    """Deterministic ~2-ulp reciprocal of finite nonzero x (any sign).
+
+    Near-zero / huge inputs legitimately overflow intermediates to inf
+    (callers sanitize); silence numpy's RuntimeWarning for those — the jnp
+    trace path never warns."""
+    import contextlib
+
+    ctx = (
+        np.errstate(over="ignore", invalid="ignore")
+        if xp is np
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        bits = _bitcast_i32(x, xp)
+        sign = bits & I32(-2147483648)
+        mag = bits & I32(0x7FFFFFFF)
+        r = _bitcast_f32(I32(0x7EF311C3) - mag, xp)
+        ax = _bitcast_f32(mag, xp)
+        for _ in range(3):
+            r = r * (F32(2.0) - ax * r)
+        return _bitcast_f32(_bitcast_i32(r, xp) ^ sign, xp)
 
 
 def div_spec(a, b, xp):

@@ -76,11 +76,17 @@ def validate_frame(aux: dict, rgba8=None, messenger: DebugMessenger = None):
                     f"{v} items dropped ({key}); raise the budget in "
                     "RendererSettings",
                 )
-    if "vis_tri" in aux and "n_valid" in aux:
+    if "vis_tri" in aux and "n_setup" in aux:
         vt = np.asarray(aux["vis_tri"])
-        if vt.max(initial=-1) >= 0:
-            # ids must reference valid setup rows
-            pass
+        n_setup = int(np.asarray(aux["n_setup"]))
+        bad = int(((vt < -1) | (vt >= n_setup)).sum())
+        if bad:
+            emit(
+                "ERROR",
+                "tri-id-range",
+                f"{bad} visibility-buffer pixels reference triangle ids "
+                f"outside [-1, {n_setup}) — corrupted raster output",
+            )
     if rgba8 is not None:
         arr = np.asarray(rgba8)
         if arr.dtype != np.uint8:

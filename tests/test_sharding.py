@@ -72,10 +72,77 @@ def test_sharded_matches_single_device(n_dev):
     )
     local_tri = None
     single, aux = render_frame_jit(statics, *arrs, mats, None, None, local_tri)
-    sharded = jax.jit(
+    sharded, sstats = jax.jit(
         lambda *a: render_frame_sharded(statics, mesh, *a)
     )(*arrs, mats, None, None, local_tri)
     assert (np.asarray(aux["vis_tri"]) >= 0).sum() > 50
+    assert int(np.asarray(sstats["pairs_overflow"])) == 0
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_sharded_concentrated_slab_budget():
+    """All geometry concentrated in ONE slab: every slab gets the full pair
+    budget (not budget/n_dev), so a scene that fits single-device must render
+    bit-identically sharded — the round-1 silent-drop regression."""
+    n_dev = 8
+    devices = jax.devices()[:n_dev]
+    mesh = make_render_mesh(devices)
+
+    # dense stack of triangles squeezed into a thin horizontal band (one
+    # slab's rows) near the top of the screen
+    rng = np.random.default_rng(11)
+    nv, nt = 240, 700
+    pos = rng.uniform(-2, 2, (nv, 3)).astype(np.float32)
+    pos[:, 1] = rng.uniform(-1.35, -1.05, nv).astype(np.float32)  # thin band
+    pos[:, 2] += 3.0
+    m = Mesh(
+        positions=pos,
+        indices=rng.integers(0, nv, (nt, 3)).astype(np.int32),
+        colors=rng.uniform(0, 1, (nv, 4)).astype(np.float32),
+    )
+    sc = Scene()
+    sc.add_object(SceneObject(mesh=sc.add_mesh(m)))
+
+    height = 8 * 8 * n_dev
+    # budget sized so the full scene fits, but budget // n_dev would not
+    settings = RendererSettings(
+        width=128, height=height, clip_budget=128, max_pairs=1 << 12
+    )
+    cam = Camera()
+    cfg = derive_raster_config(128, height)
+    packed = sc.pack()
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(128 / height)
+    mm = sc.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    mats = MaterialsPack(
+        base_color=np.ones((1, 4), np.float32),
+        tex_id=np.full(1, -1, np.int32),
+        specular=np.zeros(1, np.float32),
+        shininess=np.full(1, 32, np.int32),
+    )
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=True, has_atlas=False,
+        has_light=False, interpret=True,
+    )
+    arrs = (
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+    )
+    single, aux = render_frame_jit(statics, *arrs, mats, None, None, None)
+    pairs = int(np.asarray(aux["pairs_total"]))
+    assert int(np.asarray(aux["pairs_overflow"])) == 0
+    assert pairs > settings.max_pairs // n_dev, (
+        "test must exceed the old divided budget to be meaningful"
+    )
+    sharded, sstats = jax.jit(
+        lambda *a: render_frame_sharded(statics, mesh, *a)
+    )(*arrs, mats, None, None, None)
+    assert int(np.asarray(sstats["pairs_overflow"])) == 0
     np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
 
 
