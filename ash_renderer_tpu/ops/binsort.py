@@ -1,0 +1,145 @@
+"""Sort-based triangle binning for the fused raster kernel: ONE sort, no
+pair expansion, no per-pair gathers.
+
+The round-1 binner materialized (triangle, tile) pairs with a searchsorted
+expansion (~28 ms at 2^20 on v5e), a per-pair bin-table gather (~10 ms) and a
+per-pair record row-gather (~26 ms).  Measured TPU costs (experiments/
+cost_probe.py) show sorts are ~flat (7-11 ms up to 2^21) while gathers and
+scatters scale with bytes — so the v2 design sorts ONCE and never gathers:
+
+* Every SETUP ROW (valid triangle) gets exactly one sort key:
+  ``tile(primary) * 4 + group`` where the primary tile holds the AABB's
+  top-left corner and ``group`` encodes how the AABB spills into neighbor
+  tiles: 0 = down+right ("dr"), 1 = right ("r"), 2 = down ("d"), 3 = none.
+  Triangles spanning >2 tiles in either axis get the WIDE key; invalid rows
+  get the DEAD key (sorted to the end, never streamed).
+* One ``sort_key_val(key, row_index)`` produces the streaming order; group
+  boundaries per tile come from a searchsorted of the (tiny) boundary-key
+  table against the sorted keys.
+* The raster kernel reconstructs each tile's work list as ranges of that
+  order: its own full run, the ``dr+r`` prefix of the LEFT tile, the
+  ``dr+r+d`` prefix of the ABOVE tile (the r-only items are a ~1% waste —
+  they fail coverage), the ``dr`` prefix of the DIAGONAL tile, and the wide
+  run (streamed by every tile; wide triangles are rare by construction on
+  dense scenes and the coverage test keeps correctness for any count).
+
+This makes binning budget-free: there is no max_pairs to overflow — every
+(triangle, tile) overlap is streamed by construction.
+
+Group order note: with groups ordered [dr, r, d, none] inside a tile run,
+the left neighbor's wanted set {dr, r} is an exact prefix and the above
+neighbor's wanted set {dr, d} costs only the tiny r group extra.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RasterConfig
+from ..rtypes import TriangleSetup
+
+I32 = np.int32
+
+GRP_DR = 0
+GRP_R = 1
+GRP_D = 2
+GRP_NONE = 3
+N_GRP = 4
+
+
+def bin_sort(su: TriangleSetup, cfg: RasterConfig,
+             tile_row0: int = 0, tile_rows: int | None = None):
+    """Returns (order, bounds, n_wide_key) for the tile-row window
+    [tile_row0, tile_row0 + tile_rows):
+
+    * order:  (S,) int32 — setup-row indices sorted by streaming key;
+    * bounds: (n_tiles * 4 + 3,) int32 — start position of every
+      (tile, group) run in ``order``, then the wide run start, the dead run
+      start, and S.  Run [bounds[k], bounds[k+1]) holds key k's rows.
+    """
+    ss = cfg.subpixel_scale
+    half = ss // 2
+    s_rows = su.x0.shape[0]
+    if tile_rows is None:
+        tile_rows = cfg.grid_h
+    gw = cfg.grid_w
+    n_tiles = tile_rows * gw
+    py_lo = tile_row0 * cfg.tile_h
+    py_hi = jnp.minimum((tile_row0 + tile_rows) * cfg.tile_h, cfg.height) - 1
+
+    xmin = jnp.minimum(jnp.minimum(su.x0, su.x1), su.x2)
+    xmax = jnp.maximum(jnp.maximum(su.x0, su.x1), su.x2)
+    ymin = jnp.minimum(jnp.minimum(su.y0, su.y1), su.y2)
+    ymax = jnp.maximum(jnp.maximum(su.y0, su.y1), su.y2)
+
+    # pixel AABB (inclusive), clamped to the window — identical arithmetic to
+    # the pair binner (ops/binning.py) so coverage parity is preserved
+    pxmin = jnp.maximum(0, (xmin - half + ss - 1) // ss)
+    pxmax = jnp.minimum(cfg.width - 1, (xmax - half) // ss)
+    pymin = jnp.maximum(py_lo, (ymin - half + ss - 1) // ss)
+    pymax = jnp.minimum(py_hi, (ymax - half) // ss)
+
+    live = su.valid & (pxmax >= pxmin) & (pymax >= pymin)
+    tx0 = pxmin // cfg.tile_w
+    tx1 = pxmax // cfg.tile_w
+    ty0 = pymin // cfg.tile_h - tile_row0
+    ty1 = pymax // cfg.tile_h - tile_row0
+
+    spill_r = tx1 > tx0
+    spill_d = ty1 > ty0
+    wide = (tx1 - tx0 > 1) | (ty1 - ty0 > 1)
+    grp = jnp.where(
+        spill_r & spill_d, GRP_DR,
+        jnp.where(spill_r, GRP_R, jnp.where(spill_d, GRP_D, GRP_NONE)),
+    ).astype(I32)
+
+    tile = (ty0 * gw + tx0).astype(I32)
+    key_wide = I32(n_tiles * N_GRP)
+    key_dead = I32(n_tiles * N_GRP + 1)
+    key = jnp.where(
+        live,
+        jnp.where(wide, key_wide, tile * N_GRP + grp),
+        key_dead,
+    )
+
+    order = jnp.arange(s_rows, dtype=I32)
+    key_sorted, order = jax.lax.sort_key_val(key, order)
+
+    # run starts for every (tile, group) key + wide + dead + end sentinel
+    qkeys = jnp.arange(n_tiles * N_GRP + 2, dtype=I32)
+    starts = jnp.searchsorted(key_sorted, qkeys, side="left").astype(I32)
+    bounds = jnp.concatenate([starts, jnp.array([s_rows], I32)])
+    return order, bounds
+
+
+def stream_ranges_host(bounds: np.ndarray, tile: int, gw: int, n_tiles: int):
+    """Host/debug helper: the 5 position ranges tile ``tile`` streams, in
+    processing order (own, above-prefix, left-prefix, diag-prefix, wide).
+    Mirrors the kernel's range construction; used by tests and the numpy
+    reference of the fused pipeline."""
+    def b(k):
+        return int(bounds[k])
+
+    tx, ty = tile % gw, tile // gw
+    ranges = [(b(tile * N_GRP), b((tile + 1) * N_GRP))]  # own full run
+    if ty > 0:
+        a = tile - gw
+        # above: wants {dr, d} = groups 0..2 inclusive (r extra, harmless)
+        ranges.append((b(a * N_GRP), b(a * N_GRP + 3)))
+    else:
+        ranges.append((0, 0))
+    if tx > 0:
+        l = tile - 1
+        # left: wants {dr, r} = groups 0..1 — exact prefix
+        ranges.append((b(l * N_GRP), b(l * N_GRP + 2)))
+    else:
+        ranges.append((0, 0))
+    if tx > 0 and ty > 0:
+        d = tile - gw - 1
+        ranges.append((b(d * N_GRP), b(d * N_GRP + 1)))  # diag: {dr}
+    else:
+        ranges.append((0, 0))
+    ranges.append((b(n_tiles * N_GRP), b(n_tiles * N_GRP + 1)))  # wide
+    return ranges

@@ -181,6 +181,39 @@ def shade(
             v = sm._bitcast_f32(v, xp)
         g[k] = v
 
+    a_v0 = _take(attrs, g["v0"], xp)  # (H, W, 12)
+    a_v1 = _take(attrs, g["v1"], xp)
+    a_v2 = _take(attrs, g["v2"], xp)
+    return shade_gathered(
+        xp, valid, g, a_v0, a_v1, a_v2,
+        materials=materials, atlas=atlas, light=light,
+        camera_pos=camera_pos, cfg=cfg, clear_color=clear_color,
+        py_offset=py_offset,
+    )
+
+
+def shade_gathered(
+    xp,
+    valid,
+    g,
+    a_v0,
+    a_v1,
+    a_v2,
+    materials=None,
+    atlas=None,
+    light=None,
+    camera_pos=None,
+    cfg: RasterConfig = None,
+    clear_color=(0.0, 0.0, 0.0, 1.0),
+    py_offset: int = 0,
+):
+    """The per-pixel shading math given already-fetched winner data: the
+    per-pixel setup dict ``g`` (x0..y2, inv_area2, iw0-2, mat) and the three
+    corner attribute rows.  Shared by the gather path above (oracle and the
+    classic device pipeline) and by the fused kernel path, whose Pallas
+    distribute produces these planes on-chip — same inputs, same ops, so the
+    outputs are bit-identical by construction."""
+    h, w = valid.shape
     px = _iota2(xp, h, w, 1)
     # py_offset may be traced (per-device slab origin under shard_map)
     py = _iota2(xp, h, w, 0) + py_offset
@@ -188,9 +221,6 @@ def shade(
     l0, l1, l2 = sm.bary_weights(e0, e1, e2, g["inv_area2"], xp)
     m0, m1, m2 = sm.persp_weights(l0, l1, l2, g["iw0"], g["iw1"], g["iw2"], xp)
 
-    a_v0 = _take(attrs, g["v0"], xp)  # (H, W, 12)
-    a_v1 = _take(attrs, g["v1"], xp)
-    a_v2 = _take(attrs, g["v2"], xp)
     attr = sm.dot3(m0[..., None], a_v0, m1[..., None], a_v1, m2[..., None], a_v2)
 
     color = attr[..., 0:4]

@@ -21,7 +21,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import RasterConfig, RendererSettings, derive_raster_config
-from .ops import binning, geometry, raster_lanes, raster_pallas, shade
+from .ops import (
+    binning,
+    binsort,
+    fused_kernel,
+    geometry,
+    raster_lanes,
+    raster_pallas,
+    shade,
+    tritables,
+)
 from .rtypes import LightPack, MaterialsPack
 from .scene import PackedScene, Scene
 
@@ -110,6 +119,123 @@ def render_frame(
 
 
 render_frame_jit = jax.jit(render_frame, static_argnames=("statics",))
+
+
+# ---------------------------------------------------------------------------
+# Fused pipeline: sort-based binning + the fused Pallas kernel that gathers
+# records, rasterizes, and distributes per-pixel shading fields on-chip —
+# no XLA scalar-path gathers anywhere in the frame.  Bit-identical output
+# to render_frame (same specmath chains, same shade_gathered math).
+# ---------------------------------------------------------------------------
+
+
+def _planes_to_fields(planes, cfg: RasterConfig, tile_rows: int):
+    """(n_tiles, 44, 1024) kernel planes -> (44, H, W) per-pixel fields."""
+    gw = cfg.grid_w
+    f = fused_kernel.DIST_FIELDS
+    th, tw = fused_kernel.TILE_H, fused_kernel.TILE_W
+    img = planes.reshape(tile_rows, gw, f, th, tw)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(f, tile_rows * th, gw * tw)
+    return img
+
+
+def _shade_from_planes(statics, fields, vis_t, camera_pos, materials, atlas,
+                       light, py_offset=0):
+    """Unpack the distributed field planes into shade_gathered's inputs."""
+    cfg = statics.cfg
+    st = statics.settings
+    valid = vis_t >= 0
+    g = {}
+    g["x0"], g["y0"] = tritables.unpack_coord_planes(fields[0], cfg)
+    g["x1"], g["y1"] = tritables.unpack_coord_planes(fields[1], cfg)
+    g["x2"], g["y2"] = tritables.unpack_coord_planes(fields[2], cfg)
+    g["inv_area2"] = sm_bitcast(fields[3])
+    g["iw0"] = sm_bitcast(fields[4])
+    g["iw1"] = sm_bitcast(fields[5])
+    g["iw2"] = sm_bitcast(fields[6])
+    g["mat"] = fields[7]
+    a_v0 = sm_bitcast(jnp.stack([fields[8 + i] for i in range(12)], axis=-1))
+    a_v1 = sm_bitcast(jnp.stack([fields[20 + i] for i in range(12)], axis=-1))
+    a_v2 = sm_bitcast(jnp.stack([fields[32 + i] for i in range(12)], axis=-1))
+    rgba = shade.shade_gathered(
+        jnp,
+        valid,
+        g,
+        a_v0,
+        a_v1,
+        a_v2,
+        materials=materials if statics.has_materials else None,
+        atlas=atlas if statics.has_atlas else None,
+        light=light if statics.has_light else None,
+        camera_pos=camera_pos,
+        cfg=cfg,
+        clear_color=st.clear_color,
+        py_offset=py_offset,
+    )
+    return shade.resolve_and_pack(jnp, rgba, st.supersample, st.srgb_output)
+
+
+def sm_bitcast(x):
+    import jax as _jax
+
+    return _jax.lax.bitcast_convert_type(x, F32)
+
+
+def render_frame_fused(
+    statics: FrameStatics,
+    positions,
+    vert_obj,
+    normals,
+    colors,
+    uvs,
+    tri_v,
+    tri_obj,
+    obj_material,
+    model_mats,
+    mvp_mats,
+    camera_pos,
+    materials: Optional[MaterialsPack],
+    atlas,
+    light: Optional[LightPack],
+    local_tri=None,
+):
+    """Same signature and bit-identical results as render_frame, via the
+    fused kernel (ops/fused_kernel.py)."""
+    cfg = statics.cfg
+    st = statics.settings
+
+    clip, attrs = geometry.transform_vertices(
+        positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
+    )
+    su, attrs_full, gstats = geometry.geometry_device(
+        clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget,
+        local_tri=local_tri, interpret=statics.interpret,
+    )
+    order, bounds = binsort.bin_sort(su, cfg)
+    rmeta = fused_kernel.build_range_meta(order, bounds, cfg.n_tiles,
+                                          cfg.grid_w)
+    tras = tritables.build_ras_table(su, cfg)
+    tdist = tritables.build_dist_table(su, attrs_full, cfg)
+    pad = fused_kernel.WT + 256
+    ras_b = tritables.ras_bytes(tras, pad)
+    dist_p = tritables.dist_byte_planes(tdist, pad)
+    order2 = jnp.pad(order, (0, 384)).reshape(1, -1)
+    vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
+        order2, rmeta, ras_b, dist_p, cfg, interpret=statics.interpret
+    )
+    fields = _planes_to_fields(planes, cfg, cfg.grid_h)[
+        :, : cfg.height, : cfg.width
+    ]
+    rgba8 = _shade_from_planes(
+        statics, fields, vis_t, camera_pos, materials, atlas, light
+    )
+    aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats}
+    return rgba8, aux
+
+
+render_frame_fused_jit = jax.jit(
+    render_frame_fused, static_argnames=("statics",)
+)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,245 @@
+"""Fused-pipeline components: sort-based binning streams, per-tri tables,
+and (as they land) the fused kernel's bit-parity with the oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ash_renderer_tpu import (
+    Camera,
+    Mesh,
+    RendererSettings,
+    Scene,
+    SceneObject,
+    derive_raster_config,
+)
+from ash_renderer_tpu.oracle.raster_cpu import compose_mvp
+from ash_renderer_tpu.ops import binsort, geometry, tritables
+
+
+def _setup(seed=7, nv=120, nt=300, w=512, h=256, spread=2.0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-spread, spread, (nv, 3)).astype(np.float32)
+    pos[:, 2] += 3.0
+    mesh = Mesh(
+        positions=pos,
+        indices=rng.integers(0, nv, (nt, 3)).astype(np.int32),
+        colors=rng.uniform(0, 1, (nv, 4)).astype(np.float32),
+    )
+    sc = Scene()
+    sc.add_object(SceneObject(mesh=sc.add_mesh(mesh)))
+    packed = sc.pack()
+    cfg = derive_raster_config(w, h, tile_h=8)
+    cam = Camera()
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(w / h)
+    mm = sc.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    clip, attrs = geometry.transform_vertices(
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(mm), jnp.asarray(mvp),
+    )
+    su, attrs_full, _ = geometry.geometry_device(
+        clip, attrs, jnp.asarray(packed.tri_v), jnp.asarray(packed.tri_obj),
+        jnp.asarray(packed.obj_material), cfg, 128, interpret=True,
+    )
+    return su, attrs_full, cfg
+
+
+def _aabb_tiles(su, cfg):
+    """Brute-force {(tri, tile)} overlap set (the coverage contract)."""
+    ss = cfg.subpixel_scale
+    half = ss // 2
+    x = np.stack([np.asarray(su.x0), np.asarray(su.x1), np.asarray(su.x2)])
+    y = np.stack([np.asarray(su.y0), np.asarray(su.y1), np.asarray(su.y2)])
+    ok = np.asarray(su.valid)
+    pxmin = np.maximum(0, (x.min(0) - half + ss - 1) // ss)
+    pxmax = np.minimum(cfg.width - 1, (x.max(0) - half) // ss)
+    pymin = np.maximum(0, (y.min(0) - half + ss - 1) // ss)
+    pymax = np.minimum(cfg.height - 1, (y.max(0) - half) // ss)
+    live = ok & (pxmax >= pxmin) & (pymax >= pymin)
+    want = set()
+    for t in np.nonzero(live)[0]:
+        for tyy in range(pymin[t] // cfg.tile_h, pymax[t] // cfg.tile_h + 1):
+            for txx in range(
+                pxmin[t] // cfg.tile_w, pxmax[t] // cfg.tile_w + 1
+            ):
+                want.add((int(t), tyy * cfg.grid_w + txx))
+    return want
+
+
+@pytest.mark.parametrize("seed,spread", [(7, 2.0), (8, 0.4), (9, 6.0)])
+def test_binsort_streams_cover_all_overlaps(seed, spread):
+    su, _, cfg = _setup(seed=seed, spread=spread)
+    order, bounds = binsort.bin_sort(su, cfg)
+    order = np.asarray(order)
+    bounds = np.asarray(bounds)
+    want = _aabb_tiles(su, cfg)
+
+    streamed = {}
+    for tile in range(cfg.n_tiles):
+        ranges = binsort.stream_ranges_host(
+            bounds, tile, cfg.grid_w, cfg.n_tiles
+        )
+        items = []
+        for rs, re in ranges:
+            items.extend(order[rs:re].tolist())
+        # no duplicates within a tile's streams (distribute-phase invariant)
+        assert len(items) == len(set(items)), f"dup stream items, tile {tile}"
+        streamed[tile] = set(items)
+
+    for (t, tile) in want:
+        assert t in streamed[tile], (
+            f"overlap (tri {t}, tile {tile}) not streamed"
+        )
+
+
+def _frame_args(scene, settings, cam, has_mats=False, has_atlas=False,
+                has_light=False):
+    from ash_renderer_tpu.pipeline import FrameStatics
+    from ash_renderer_tpu.rtypes import LightPack, MaterialsPack
+
+    packed = scene.pack()
+    cfg = derive_raster_config(
+        settings.render_width, settings.render_height, tile_h=8
+    )
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(settings.render_width / settings.render_height)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    if has_mats:
+        mats = MaterialsPack(
+            base_color=np.array(
+                [m.base_color for m in scene.materials], np.float32
+            ),
+            tex_id=np.array([m.texture_id for m in scene.materials], np.int32),
+            specular=np.array([m.specular for m in scene.materials], np.float32),
+            shininess=np.array([m.shininess for m in scene.materials], np.int32),
+        )
+    else:
+        mats = None
+    if has_light and scene.light is not None:
+        light = LightPack(
+            direction=np.asarray(scene.light.direction, np.float32),
+            color=np.asarray(scene.light.color, np.float32),
+            ambient=np.float32(scene.light.ambient),
+        )
+    else:
+        light = None
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=has_mats,
+        has_atlas=has_atlas, has_light=light is not None, interpret=True,
+    )
+    args = (
+        statics,
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+        mats, scene.atlas if has_atlas else None, light, None,
+    )
+    return args, packed, mm, view, proj
+
+
+def _rand_scene(seed=3, nv=90, nt=70, spread=2.0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-spread, spread, (nv, 3)).astype(np.float32)
+    pos[:, 2] += 3.0
+    mesh = Mesh(
+        positions=pos,
+        indices=rng.integers(0, nv, (nt, 3)).astype(np.int32),
+        colors=rng.uniform(0, 1, (nv, 4)).astype(np.float32),
+    )
+    sc = Scene()
+    sc.add_object(SceneObject(mesh=sc.add_mesh(mesh)))
+    return sc
+
+
+@pytest.mark.parametrize("seed,spread", [(3, 2.0), (5, 0.5), (11, 5.0)])
+def test_fused_matches_classic_vertex_colors(seed, spread):
+    from ash_renderer_tpu.pipeline import (
+        render_frame_fused_jit,
+        render_frame_jit,
+    )
+
+    scene = _rand_scene(seed=seed, spread=spread)
+    settings = RendererSettings(width=256, height=192, clip_budget=128)
+    args, *_ = _frame_args(scene, settings, Camera())
+    classic, aux_c = render_frame_jit(*args)
+    fused, aux_f = render_frame_fused_jit(*args)
+    assert int(np.asarray(aux_c["vis_tri"] >= 0).sum()) > 100
+    np.testing.assert_array_equal(
+        np.asarray(aux_c["vis_tri"]), np.asarray(aux_f["vis_tri"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(aux_c["vis_d16"]), np.asarray(aux_f["vis_d16"])
+    )
+    np.testing.assert_array_equal(np.asarray(classic), np.asarray(fused))
+
+
+def test_fused_matches_oracle_textured_lit():
+    from ash_renderer_tpu import DirectionalLight, Material
+    from ash_renderer_tpu.models import icosphere
+    from ash_renderer_tpu.oracle import render_oracle
+    from ash_renderer_tpu.pipeline import render_frame_fused_jit
+    from ash_renderer_tpu.textures import TextureAtlas, checkerboard
+    from ash_renderer_tpu import mathx
+
+    scene = Scene(
+        materials=[Material(texture_id=0, specular=0.4, shininess=32)],
+        light=DirectionalLight(direction=(0.3, -0.6, 0.74), ambient=0.15),
+    )
+    scene.atlas = TextureAtlas.build([checkerboard(64)])
+    scene.add_object(
+        SceneObject(
+            mesh=scene.add_mesh(icosphere(2)),
+            model=mathx.translation([0, 0, 3]),
+        )
+    )
+    settings = RendererSettings(width=192, height=128, clip_budget=128)
+    cam = Camera()
+    args, packed, mm, view, proj = _frame_args(
+        scene, settings, cam, has_mats=True, has_atlas=True, has_light=True
+    )
+    fused, aux = render_frame_fused_jit(*args)
+    o = render_oracle(
+        packed, mm, view, proj, settings,
+        materials=args[12], atlas=scene.atlas, light=args[14],
+        camera_pos=cam.position.astype(np.float32),
+        cfg=args[0].cfg,
+    )
+    assert int((o["vis_tri"] >= 0).sum()) > 500
+    np.testing.assert_array_equal(np.asarray(aux["vis_tri"]), o["vis_tri"])
+    np.testing.assert_array_equal(np.asarray(fused), o["rgba8"])
+
+
+def test_tritables_roundtrip():
+    su, attrs_full, cfg = _setup()
+    tras = np.asarray(tritables.build_ras_table(su, cfg))
+    x0, y0 = tritables.unpack_coord_planes(tras[:, 0], cfg)
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(su.x0))
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(su.y0))
+    zq0 = tras[:, 3] & 0xFFFF
+    zq1 = (tras[:, 3] >> 16) & 0xFFFF
+    np.testing.assert_array_equal(zq0, np.asarray(su.zq0))
+    np.testing.assert_array_equal(zq1, np.asarray(su.zq1))
+    inv = tras[:, 5].view(np.float32)
+    np.testing.assert_array_equal(inv, np.asarray(su.inv_area2))
+
+    tdist = np.asarray(tritables.build_dist_table(su, attrs_full, cfg))
+    a_v0 = tdist[:, 8:20].view(np.float32).reshape(-1, 12)
+    np.testing.assert_array_equal(
+        a_v0, np.asarray(attrs_full)[np.asarray(su.v0)]
+    )
+    # byte planes reassemble to the table
+    planes = np.asarray(tritables.dist_byte_planes(jnp.asarray(tdist), 0))
+    re = (
+        (planes[0].astype(np.int32) & 255)
+        | ((planes[1].astype(np.int32) & 255) << 8)
+        | ((planes[2].astype(np.int32) & 255) << 16)
+        | (planes[3].astype(np.int32) << 24)
+    ).T
+    np.testing.assert_array_equal(re, tdist)
