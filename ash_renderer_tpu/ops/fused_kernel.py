@@ -183,13 +183,22 @@ def _kernel(
 
         recs_b = jnp.zeros((TILE_W, 128), I32)
         recs_b = jax.lax.fori_loop(0, nw, win_body, recs_b)
+        # Reassemble int32 fields from the byte-plane columns.  Non-zero
+        # lane-offset slices of matmul results MISCOMPILE on this Mosaic
+        # version (measured: byte planes 2-3 corrupt); circular lane rolls +
+        # a zero-offset slice produce exact results, so align every plane to
+        # lane 0 first.
         nf = RAS_FIELDS
-        return (
-            (recs_b[:, 0:nf] & 255)
-            | ((recs_b[:, nf : 2 * nf] & 255) << 8)
-            | ((recs_b[:, 2 * nf : 3 * nf] & 255) << 16)
-            | (recs_b[:, 3 * nf : 4 * nf] << 24)
+        r1 = pltpu.roll(recs_b, 128 - nf, 1)
+        r2 = pltpu.roll(recs_b, 128 - 2 * nf, 1)
+        r3 = pltpu.roll(recs_b, 128 - 3 * nf, 1)
+        full = (
+            (recs_b & 255)
+            | ((r1 & 255) << 8)
+            | ((r2 & 255) << 16)
+            | (r3 << 24)
         )
+        return full[:, 0:nf]
 
     def unpack16(p):
         return ((p & 0xFFFF) + min_c), (((p >> 16) & 0xFFFF) + min_c)
@@ -273,7 +282,7 @@ def _kernel(
         flat_s[0:1, TILE_W * r : TILE_W * (r + 1)] = acc_t[r]
     flatv = flat_s[:]  # (1, 1024) winner tri ids
 
-    out_tb[...] = jnp.zeros((4, DIST_FIELDS, N_PIX), I32)
+    out_tb[...] = jnp.zeros((4 * DIST_FIELDS, N_PIX), I32)
 
     for rng_i in range(N_RANGES):
         rs, re, base, nw = range_scalars(rng_i)
@@ -287,47 +296,36 @@ def _kernel(
             oh_d = ((rel_t + base == flatv) & (rel_t >= 0)).astype(I8)
 
             def win_body(k, recs_ts):
-                for p in range(4):
-                    pltpu.make_async_copy(
-                        dist_ref.at[p, :, pl.ds(base + k * WT, WT)],
-                        dist_win.at[p],
-                        sem_dist.at[p],
-                    ).start()
+                cp = pltpu.make_async_copy(
+                    dist_ref.at[:, pl.ds(base + k * WT, WT)],
+                    dist_win,
+                    sem_dist,
+                )
+                cp.start()
                 iw = jax.lax.broadcasted_iota(I32, (WT, TILE_W), 0)
                 ohg = (iw == (rel - k * WT)).astype(I8)  # (WT, 128)
-                out = []
-                for p in range(4):
-                    pltpu.make_async_copy(
-                        dist_ref.at[p, :, pl.ds(base + k * WT, WT)],
-                        dist_win.at[p],
-                        sem_dist.at[p],
-                    ).wait()
-                    out.append(
-                        recs_ts[p]
-                        + jnp.dot(
-                            dist_win[p], ohg, preferred_element_type=I32
-                        )
-                    )
-                return tuple(out)
-
-            recs_ts = tuple(
-                jnp.zeros((DIST_FIELDS, TILE_W), I32) for _ in range(4)
-            )
-            recs_ts = jax.lax.fori_loop(0, nw, win_body, recs_ts)
-            for p in range(4):
-                contrib = jnp.dot(
-                    recs_ts[p].astype(I8), oh_d, preferred_element_type=I32
+                cp.wait()
+                return recs_ts + jnp.dot(
+                    dist_win[:], ohg, preferred_element_type=I32
                 )
-                out_tb[p] = out_tb[p] + contrib
+
+            # (192, 128): all 4 byte planes of this window's records
+            recs_ts = jnp.zeros((4 * DIST_FIELDS, TILE_W), I32)
+            recs_ts = jax.lax.fori_loop(0, nw, win_body, recs_ts)
+            out_tb[...] = out_tb[...] + jnp.dot(
+                recs_ts.astype(I8), oh_d, preferred_element_type=I32
+            )
             return 0
 
         jax.lax.fori_loop(0, nsw, swd_body, 0)
 
+    o = out_tb[...]
+    f = DIST_FIELDS
     planes_ref[0] = (
-        (out_tb[0] & 255)
-        | ((out_tb[1] & 255) << 8)
-        | ((out_tb[2] & 255) << 16)
-        | (out_tb[3] << 24)
+        (o[0:f] & 255)
+        | ((o[f : 2 * f] & 255) << 8)
+        | ((o[2 * f : 3 * f] & 255) << 16)
+        | (o[3 * f : 4 * f] << 24)
     )
 
 
@@ -348,7 +346,7 @@ def rasterize_distribute(
     order:  (1, S_pad) i32 sorted row ids (binsort order, padded >= +256);
     rmeta:  flattened range meta (build_range_meta);
     ras_b:  (S_pad2, 128) i8 visibility table bytes (tritables.ras_bytes);
-    dist_p: (4, 44, S_pad2) i8 distribute byte planes.
+    dist_p: (192, S_pad2) i8 distribute byte planes (tritables layout).
 
     Returns (vis_d, vis_t, planes) — vis planes cropped to (height, width),
     planes (n_tiles, 44, 1024) int32 per-pixel shading fields (uncropped
@@ -388,12 +386,12 @@ def rasterize_distribute(
         scratch_shapes=[
             pltpu.VMEM((1, 256), I32),
             pltpu.VMEM((WT, 128), I8),
-            pltpu.VMEM((4, DIST_FIELDS, WT), I8),
+            pltpu.VMEM((4 * DIST_FIELDS, WT), I8),
             pltpu.VMEM((1, N_PIX), I32),
-            pltpu.VMEM((4, DIST_FIELDS, N_PIX), I32),
+            pltpu.VMEM((4 * DIST_FIELDS, N_PIX), I32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     vis_d, vis_t, planes = pl.pallas_call(

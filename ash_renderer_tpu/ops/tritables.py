@@ -39,7 +39,8 @@ I32 = np.int32
 I8 = np.int8
 
 RAS_FIELDS = 8
-DIST_FIELDS = 44
+DIST_FIELDS = 48  # 44 used + 4 zero spares (8-aligned sublane plane strides)
+DIST_USED = 44
 
 
 def _pack16(a, b):
@@ -91,7 +92,8 @@ def build_dist_table(su: TriangleSetup, attrs, cfg: RasterConfig):
         ],
         axis=1,
     )  # (S, 36)
-    return jnp.concatenate([head, body], axis=1)
+    pad = jnp.zeros((head.shape[0], DIST_FIELDS - DIST_USED), I32)
+    return jnp.concatenate([head, body, pad], axis=1)
 
 
 def ras_bytes(tras, pad_rows: int):
@@ -112,13 +114,16 @@ def ras_bytes(tras, pad_rows: int):
 
 
 def dist_byte_planes(tdist, pad_rows: int):
-    """(4, 44, S+pad) int8 transposed byte planes for distribute windows."""
+    """(4 * 48, S+pad) int8 transposed byte planes for distribute windows:
+    row 48*k + f holds byte k of field f.  A flat 2D layout with 8-aligned
+    plane strides — 3D int8 HBM arrays with lane-dim slicing crash the
+    Mosaic pipeline, and one (192, Wt) DMA feeds one gather matmul."""
     planes = []
     for k in range(4):
         p = ((tdist >> (8 * k)) & 0xFF).astype(jnp.uint8).astype(I8)
-        planes.append(p.T)  # (44, S)
-    out = jnp.stack(planes, axis=0)
-    return jnp.pad(out, ((0, 0), (0, 0), (0, pad_rows)))
+        planes.append(p.T)  # (48, S)
+    out = jnp.concatenate(planes, axis=0)  # (192, S)
+    return jnp.pad(out, ((0, 0), (0, pad_rows)))
 
 
 def unpack_coord_planes(packed, cfg: RasterConfig):

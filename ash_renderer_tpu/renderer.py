@@ -34,7 +34,12 @@ import numpy as np
 from .camera import Camera
 from .config import RendererSettings, derive_raster_config
 from .oracle.raster_cpu import compose_mvp
-from .pipeline import FrameStatics, render_frame_jit, render_frame_staged
+from .pipeline import (
+    FrameStatics,
+    render_frame_fused_jit,
+    render_frame_jit,
+    render_frame_staged,
+)
 from .present import FrameRing
 from .rtypes import LightPack, MaterialsPack
 from .scene import Scene
@@ -129,7 +134,12 @@ class Renderer:
         )
         if eff_pairs != st.max_pairs:
             st = dataclasses.replace(st, max_pairs=eff_pairs)
-        self.cfg = derive_raster_config(st.render_width, st.render_height)
+        self.cfg = derive_raster_config(
+            st.render_width,
+            st.render_height,
+            # the fused kernel's sublane-group layout is tile_h=8 exactly
+            tile_h=8 if st.pipeline == "fused" else 16,
+        )
         self.statics = FrameStatics(
             cfg=self.cfg,
             settings=st,
@@ -176,9 +186,12 @@ class Renderer:
         view = camera.view_matrix()
         proj = camera.projection_matrix(st.render_width / st.render_height)
         mvp = compose_mvp(model_mats, view, proj)
-        frame_fn = (
-            render_frame_staged if st.staged_pipeline else render_frame_jit
-        )
+        if st.pipeline == "fused":
+            frame_fn = render_frame_fused_jit
+        elif st.staged_pipeline:
+            frame_fn = render_frame_staged
+        else:
+            frame_fn = render_frame_jit
         rgba8, aux = frame_fn(
             self.statics,
             self._buffers["positions"],

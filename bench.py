@@ -29,7 +29,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def parity_gate() -> bool:
+def parity_gate(pipeline: str = "classic") -> bool:
     """Small-scene pixel parity vs the CPU oracle on the live backend."""
     import jax
     import jax.numpy as jnp
@@ -43,7 +43,11 @@ def parity_gate() -> bool:
         derive_raster_config,
     )
     from ash_renderer_tpu.oracle.raster_cpu import compose_mvp
-    from ash_renderer_tpu.pipeline import FrameStatics, render_frame_jit
+    from ash_renderer_tpu.pipeline import (
+        FrameStatics,
+        render_frame_fused_jit,
+        render_frame_jit,
+    )
     from ash_renderer_tpu.rtypes import MaterialsPack
 
     rng = np.random.default_rng(5)
@@ -57,9 +61,11 @@ def parity_gate() -> bool:
     )
     scene = Scene()
     scene.add_object(SceneObject(mesh=scene.add_mesh(mesh)))
-    settings = RendererSettings(width=256, height=192)
+    settings = RendererSettings(width=256, height=192, pipeline=pipeline)
     cam = Camera()
-    cfg = derive_raster_config(256, 192)
+    cfg = derive_raster_config(
+        256, 192, tile_h=8 if pipeline == "fused" else 16
+    )
     packed = scene.pack()
     view = cam.view_matrix()
     proj = cam.projection_matrix(256 / 192)
@@ -75,7 +81,8 @@ def parity_gate() -> bool:
         cfg=cfg, settings=settings, has_materials=True, has_atlas=False,
         has_light=False, interpret=jax.default_backend() != "tpu",
     )
-    rgba8, aux = render_frame_jit(
+    fn = render_frame_fused_jit if pipeline == "fused" else render_frame_jit
+    rgba8, aux = fn(
         statics,
         jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
         jnp.asarray(packed.normals), jnp.asarray(packed.colors),
@@ -87,9 +94,13 @@ def parity_gate() -> bool:
     )
     from ash_renderer_tpu.oracle import render_oracle
 
-    o = render_oracle(packed, mm, view, proj, settings, materials=mats)
+    o = render_oracle(packed, mm, view, proj, settings, materials=mats,
+                      cfg=cfg)
     ok = bool(np.array_equal(np.asarray(rgba8), o["rgba8"]))
-    log(f"parity gate (256x192, 160 tris): {'EXACT' if ok else 'MISMATCH'}")
+    log(
+        f"parity gate (256x192, 160 tris, {pipeline}): "
+        f"{'EXACT' if ok else 'MISMATCH'}"
+    )
     return ok
 
 
@@ -104,6 +115,8 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="reduced scene for smoke testing")
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--pipeline", default=None, choices=["classic", "fused"],
+                    help="override RendererSettings.pipeline")
     args = ap.parse_args()
 
     import jax
@@ -118,7 +131,7 @@ def main():
     parity_ok = True
     if not args.skip_parity:
         try:
-            parity_ok = parity_gate()
+            parity_ok = parity_gate(args.pipeline or "classic")
         except Exception as e:  # pragma: no cover
             log(f"parity gate error: {e!r}")
             parity_ok = False
@@ -129,8 +142,15 @@ def main():
         scene, settings, cams = config4_million_tri(subdiv=n)
     else:
         scene, settings, cams = ALL_CONFIGS[args.config]()
+    if args.pipeline is not None:
+        import dataclasses
+
+        settings = dataclasses.replace(settings, pipeline=args.pipeline)
     n_tris = sum(m.num_triangles for m in scene.meshes)
-    log(f"scene: {n_tris} triangles (built in {time.time()-t0:.1f}s)")
+    log(
+        f"scene: {n_tris} triangles (built in {time.time()-t0:.1f}s), "
+        f"pipeline={settings.pipeline}"
+    )
 
     r = Renderer(scene, settings)
     cam = cams[0]
@@ -144,9 +164,14 @@ def main():
     rgba8, aux = r.render_frame(cam)
     force(rgba8)
     log(f"first frame (incl. compile): {time.time()-t0:.1f}s")
-    log(
-        f"valid tris: {int(aux['n_valid'])}, pairs: {int(aux['pairs_total'])},"
+    pair_info = (
+        f" pairs: {int(aux['pairs_total'])},"
         f" overflow: {int(aux['pairs_overflow'])},"
+        if "pairs_total" in aux
+        else ""  # the fused pipeline is budget-free (no pair machinery)
+    )
+    log(
+        f"valid tris: {int(aux['n_valid'])},{pair_info}"
         f" covered px: {int((np.asarray(aux['vis_tri']) >= 0).sum())}"
     )
 

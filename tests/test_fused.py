@@ -234,12 +234,16 @@ def test_tritables_roundtrip():
     np.testing.assert_array_equal(
         a_v0, np.asarray(attrs_full)[np.asarray(su.v0)]
     )
-    # byte planes reassemble to the table
-    planes = np.asarray(tritables.dist_byte_planes(jnp.asarray(tdist), 0))
+    # byte planes reassemble to the table ((192, S) layout: plane k = rows
+    # [48k, 48k+48))
+    planes = np.asarray(
+        tritables.dist_byte_planes(jnp.asarray(tdist), 0)
+    ).astype(np.int32)
+    f = tritables.DIST_FIELDS
     re = (
-        (planes[0].astype(np.int32) & 255)
-        | ((planes[1].astype(np.int32) & 255) << 8)
-        | ((planes[2].astype(np.int32) & 255) << 16)
-        | (planes[3].astype(np.int32) << 24)
+        (planes[0:f] & 255)
+        | ((planes[f : 2 * f] & 255) << 8)
+        | ((planes[2 * f : 3 * f] & 255) << 16)
+        | (planes[3 * f : 4 * f] << 24)
     ).T
     np.testing.assert_array_equal(re, tdist)
