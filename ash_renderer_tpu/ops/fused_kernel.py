@@ -118,6 +118,8 @@ def _kernel(
     vis_t_ref,
     planes_ref,
     ids_s,
+    minmax_s,
+    recs_s,
     ras_win,
     dist_win,
     flat_s,
@@ -152,8 +154,11 @@ def _kernel(
 
     def load_ids(pos, re):
         """DMA + align the 128 ids at sorted positions [pos, pos+128);
-        lanes beyond re get rel -1 (gather no row, never cover)."""
-        ab = (pos // 128) * 128
+        lanes beyond re get rel -1 (gather no row, never cover).  Also
+        returns (k0, k1): the WT-window indices (relative to the range base)
+        actually touched by this segment's ids — windows follow the ids, so
+        a segment costs O(its own id span), not O(the whole range span)."""
+        ab = pl.multiple_of((pos // 128) * 128, 128)
         cp = pltpu.make_async_copy(
             order_ref.at[:, pl.ds(ab, 256)], ids_s, sem_ids
         )
@@ -163,14 +168,25 @@ def _kernel(
         shift = jnp.where(jofs == 0, 0, 256 - jofs)
         ids128 = pltpu.roll(ids_s[:], shift, 1)[:, 0:TILE_W]
         valid = lanei < (re - pos)
-        return ids128, valid
+        # segment id bounds -> traced scalars via a scratch round-trip (the
+        # only way off the vector unit; static element reads are legal)
+        big = I32(np.iinfo(np.int32).max)
+        idmin = jnp.min(jnp.where(valid, ids128, big), axis=1, keepdims=True)
+        idmax = jnp.max(jnp.where(valid, ids128, I32(-1)), axis=1,
+                        keepdims=True)
+        minmax_s[0:1, 0:1] = idmin
+        minmax_s[0:1, 1:2] = idmax
+        return ids128, valid, minmax_s[0, 0], minmax_s[0, 1]
 
-    def gather_ras(rel_t, base, nw):
+    def gather_ras(rel_t, base, k0, k1):
         """(128, 8) int32 rows of T_RAS for relative ids rel_t (128,1)."""
 
         def win_body(k, recs_b):
+            # base is 128-rounded in rmeta and WT is a 128-multiple; the
+            # compiler needs the divisibility hint to lower the slice
+            off = pl.multiple_of(base + k * WT, 128)
             cp = pltpu.make_async_copy(
-                ras_ref.at[pl.ds(base + k * WT, WT), :], ras_win, sem_ras
+                ras_ref.at[pl.ds(off, WT), :], ras_win, sem_ras
             )
             cp.start()
             ohrel = rel_t - k * WT
@@ -182,7 +198,7 @@ def _kernel(
             )
 
         recs_b = jnp.zeros((TILE_W, 128), I32)
-        recs_b = jax.lax.fori_loop(0, nw, win_body, recs_b)
+        recs_b = jax.lax.fori_loop(k0, k1 + 1, win_body, recs_b)
         # Reassemble int32 fields from the byte-plane columns.  Non-zero
         # lane-offset slices of matmul results MISCOMPILE on this Mosaic
         # version (measured: byte planes 2-3 corrupt); circular lane rolls +
@@ -203,11 +219,10 @@ def _kernel(
     def unpack16(p):
         return ((p & 0xFFFF) + min_c), (((p >> 16) & 0xFFFF) + min_c)
 
-    def eval_group(recs, ids_t, g, acc):
-        """8 triangles (sublanes) x 128 columns x 8 swept rows."""
+    def eval_group(blk, ids_g, acc):
+        """8 triangles (sublanes) x 128 columns x 8 swept rows.
+        blk: (8, RAS_FIELDS) records; ids_g: (8, 1) triangle ids."""
         acc_d, acc_t = acc
-        blk = recs[8 * g : 8 * (g + 1), :]  # (8, 8)
-        ids_g = ids_t[8 * g : 8 * (g + 1), :]  # (8, 1)
         x0, y0 = unpack16(blk[:, 0:1])
         x1, y1 = unpack16(blk[:, 1:2])
         x2, y2 = unpack16(blk[:, 2:3])
@@ -257,18 +272,32 @@ def _kernel(
         rs, re, base, nw = range_scalars(rng_i)
         nsw = -(-(re - rs) // TILE_W)
 
-        def sw_body(w, acc, rs=rs, re=re, base=base, nw=nw):
+        def sw_body(w, acc, rs=rs, re=re, base=base):
             pos = rs + w * TILE_W
-            ids128, valid = load_ids(pos, re)
+            ids128, valid, idmin, idmax = load_ids(pos, re)
             rel = jnp.where(valid, ids128 - base, I32(-1))
             rel_t = rel.reshape(TILE_W, 1)
             ids_t = rel_t + base
-            recs = gather_ras(rel_t, base, nw)
-            acc_d = list(acc[:TILE_H])
-            acc_t = list(acc[TILE_H:])
-            for g in range(TILE_W // 8):
-                acc_d, acc_t = eval_group(recs, ids_t, g, (acc_d, acc_t))
-            return tuple(acc_d + acc_t)
+            k0 = (idmin - base) // WT
+            k1 = (idmax - base) // WT
+            recs = gather_ras(rel_t, base, k0, k1)
+            # park records in scratch so the group loop can bound itself by
+            # the VALID slot count (neighbor-prefix segments are tiny; the
+            # all-padding groups would otherwise still pay full eval)
+            recs_s[:, 0:RAS_FIELDS] = recs
+            recs_s[:, RAS_FIELDS : RAS_FIELDS + 1] = ids_t
+            ng = -(-jnp.minimum(re - pos, TILE_W) // 8)
+
+            def grp_body(g, acc):
+                off = pl.multiple_of(8 * g, 8)
+                blk = recs_s[pl.ds(off, 8), 0:RAS_FIELDS]
+                ids_g = recs_s[pl.ds(off, 8), RAS_FIELDS : RAS_FIELDS + 1]
+                acc_d, acc_t = eval_group(
+                    blk, ids_g, (list(acc[:TILE_H]), list(acc[TILE_H:]))
+                )
+                return tuple(acc_d + acc_t)
+
+            return jax.lax.fori_loop(0, ng, grp_body, acc)
 
         acc = jax.lax.fori_loop(0, nsw, sw_body, acc)
 
@@ -288,16 +317,19 @@ def _kernel(
         rs, re, base, nw = range_scalars(rng_i)
         nsw = -(-(re - rs) // TILE_W)
 
-        def swd_body(w, _, rs=rs, re=re, base=base, nw=nw):
+        def swd_body(w, _, rs=rs, re=re, base=base):
             pos = rs + w * TILE_W
-            ids128, valid = load_ids(pos, re)
+            ids128, valid, idmin, idmax = load_ids(pos, re)
             rel = jnp.where(valid, ids128 - base, I32(-1))
             rel_t = rel.reshape(TILE_W, 1)
+            k0 = (idmin - base) // WT
+            k1 = (idmax - base) // WT
             oh_d = ((rel_t + base == flatv) & (rel_t >= 0)).astype(I8)
 
             def win_body(k, recs_ts):
+                off = pl.multiple_of(base + k * WT, 128)
                 cp = pltpu.make_async_copy(
-                    dist_ref.at[:, pl.ds(base + k * WT, WT)],
+                    dist_ref.at[:, pl.ds(off, WT)],
                     dist_win,
                     sem_dist,
                 )
@@ -311,7 +343,7 @@ def _kernel(
 
             # (192, 128): all 4 byte planes of this window's records
             recs_ts = jnp.zeros((4 * DIST_FIELDS, TILE_W), I32)
-            recs_ts = jax.lax.fori_loop(0, nw, win_body, recs_ts)
+            recs_ts = jax.lax.fori_loop(k0, k1 + 1, win_body, recs_ts)
             out_tb[...] = out_tb[...] + jnp.dot(
                 recs_ts.astype(I8), oh_d, preferred_element_type=I32
             )
@@ -385,6 +417,8 @@ def rasterize_distribute(
         out_specs=(block, block, planes_block),
         scratch_shapes=[
             pltpu.VMEM((1, 256), I32),
+            pltpu.VMEM((1, 128), I32),
+            pltpu.VMEM((TILE_W, 16), I32),
             pltpu.VMEM((WT, 128), I8),
             pltpu.VMEM((4 * DIST_FIELDS, WT), I8),
             pltpu.VMEM((1, N_PIX), I32),

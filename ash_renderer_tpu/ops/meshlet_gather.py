@@ -31,80 +31,78 @@ from ..scene import MESHLET_TRIS, MESHLET_VERTS
 I32 = np.int32
 I8 = np.int8
 
-GB = 8  # meshlets per grid step
-OUT = 3 * MESHLET_TRIS  # gathered rows per meshlet (3 corners x 128 tris)
-FIELDS = 8  # int32 fields per vertex row
-BYTES = 4 * FIELDS
+# ---------------------------------------------------------------------------
+# Generic corner-row gather with IN-KERNEL byte reassembly (round-2): the
+# wrapper above materializes int32-per-byte outputs (16x the bytes) and
+# reassembles in XLA, which made it memory-bound.  This version uses the
+# byte-interleaved 128-wide i8 table layout + circular-roll reassembly
+# (non-zero lane-offset slices of matmul results miscompile on this Mosaic
+# version — see ops/fused_kernel.py) and writes final int32 fields.
+# ---------------------------------------------------------------------------
 
 
-def _kernel(idx_ref, tbl_ref, out_ref):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (OUT, MESHLET_VERTS), 1)
-    for g in range(GB):
-        idx = idx_ref[g]  # (OUT,)
-        oh = (iota == idx[:, None]).astype(I8)
-        tbl = tbl_ref[g * MESHLET_VERTS : (g + 1) * MESHLET_VERTS]
-        out_ref[g] = jnp.dot(oh, tbl, preferred_element_type=jnp.int32)
+def _rows_kernel(idx_ref, tbl_ref, out_ref, *, nf: int):
+    # one-hot over this meshlet's 128-row table, all 3 corners in one matmul
+    rels = []
+    for c in range(3):
+        rel = idx_ref[0, c : c + 1, :]  # (1, 128)
+        rels.append(rel.reshape(MESHLET_TRIS, 1))
+    rel_cat = jnp.concatenate(rels, axis=0)  # (384, 1)
+    iota = jax.lax.broadcasted_iota(I32, (3 * MESHLET_TRIS, MESHLET_VERTS), 1)
+    oh = (iota == rel_cat).astype(I8)
+    got = jnp.dot(oh, tbl_ref[:], preferred_element_type=I32)  # (384, 128)
+    r1 = pltpu.roll(got, 128 - nf, 1)
+    r2 = pltpu.roll(got, 128 - 2 * nf, 1)
+    r3 = pltpu.roll(got, 128 - 3 * nf, 1)
+    full = (got & 255) | ((r1 & 255) << 8) | ((r2 & 255) << 16) | (r3 << 24)
+    vals = full[:, 0:nf]  # (384, nf)
+    out_ref[0] = jnp.concatenate(
+        [
+            vals[0:MESHLET_TRIS],
+            vals[MESHLET_TRIS : 2 * MESHLET_TRIS],
+            vals[2 * MESHLET_TRIS :],
+        ],
+        axis=1,
+    )  # (128, 3*nf)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def gather_corners(vtx_pack, local_tri, interpret: bool = False):
-    """vtx_pack: (V, 8) int32 with V = n_meshlets * 128; local_tri: (T, 3)
-    int32 in [0, 128).  Returns (3, T, 8) int32, bitwise equal to
-    ``vtx_pack[tri_v[:, k]]`` for each corner k."""
-    v = vtx_pack.shape[0]
+def gather_tri_rows(tbl, local_tri, interpret: bool = False):
+    """Exact meshlet-local corner gather: tbl (V, F) int32 with
+    V = n_meshlets * 128, local_tri (T, 3) int32 in [0, 128).  Returns
+    (T, 3, F) int32, bitwise equal to tbl[tri_v] per corner.  F <= 32."""
+    v, nf = tbl.shape
+    assert nf <= 32
     m = v // MESHLET_VERTS
     t = local_tri.shape[0]
     assert t == m * MESHLET_TRIS, (t, m)
 
-    # (M, 384) index layout: corner-major then triangle
+    # byte-interleaved (V, 128) i8 rows: cols [nf*k, nf*k+nf) = byte k
+    planes = [
+        ((tbl >> (8 * k)) & 0xFF).astype(jnp.uint8).astype(I8)
+        for k in range(4)
+    ]
+    tblb = jnp.concatenate(planes, axis=1)
+    tblb = jnp.pad(tblb, ((0, 0), (0, 128 - 4 * nf)))
+
     idx = (
-        local_tri.reshape(m, MESHLET_TRIS, 3)
-        .transpose(0, 2, 1)
-        .reshape(m, OUT)
-    )
-    # int32 rows -> little-endian bytes (minor dim = least significant)
-    tbl_bytes = jax.lax.bitcast_convert_type(vtx_pack, jnp.int8).reshape(
-        v, BYTES
-    )
-    # pad meshlet count to the grid-block multiple (padding output discarded)
-    mp = -(-m // GB) * GB
-    if mp != m:
-        idx = jnp.pad(idx, ((0, mp - m), (0, 0)))
-        tbl_bytes = jnp.pad(
-            tbl_bytes, ((0, (mp - m) * MESHLET_VERTS), (0, 0))
-        )
+        local_tri.reshape(m, MESHLET_TRIS, 3).transpose(0, 2, 1)
+    )  # (M, 3, 128)
 
     out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, OUT, BYTES), jnp.int32),
-        grid=(mp // GB,),
+        functools.partial(_rows_kernel, nf=nf),
+        out_shape=jax.ShapeDtypeStruct((m, MESHLET_TRIS, 3 * nf), jnp.int32),
+        grid=(m,),
         in_specs=[
-            pl.BlockSpec((GB, OUT), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (GB * MESHLET_VERTS, BYTES),
-                lambda i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, 3, MESHLET_TRIS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MESHLET_VERTS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (GB, OUT, BYTES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, MESHLET_TRIS, 3 * nf), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(idx, tbl_bytes)
-
-    # reassemble int32 fields from byte values (int32 shifts wrap: exact bits)
-    b = out & jnp.int32(0xFF)
-    fields = []
-    for f in range(FIELDS):
-        fields.append(
-            b[..., 4 * f]
-            | (b[..., 4 * f + 1] << 8)
-            | (b[..., 4 * f + 2] << 16)
-            | (b[..., 4 * f + 3] << 24)
-        )
-    res = jnp.stack(fields, axis=-1)[:m]  # (M, OUT, 8)
-    return (
-        res.reshape(m, 3, MESHLET_TRIS, FIELDS)
-        .transpose(1, 0, 2, 3)
-        .reshape(3, t, FIELDS)
-    )
+    )(idx, tblb)
+    return out.reshape(t, 3, nf)

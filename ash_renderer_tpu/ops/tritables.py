@@ -65,14 +65,41 @@ def build_ras_table(su: TriangleSetup, cfg: RasterConfig):
     return jnp.stack(cols, axis=1)
 
 
-def build_dist_table(su: TriangleSetup, attrs, cfg: RasterConfig):
-    """(S, 44) int32 shading table; attrs: (VA, 12) f32 combined attribute
-    rows (geometry.ATTR layout).  The three corner row-gathers here are the
-    XLA reference path; su.v* are already clipped to valid range upstream."""
+def build_dist_table(su: TriangleSetup, attrs, cfg: RasterConfig,
+                     local_tri=None, interpret: bool = False):
+    """(S, 48) int32 shading table; attrs: (VA, 12) f32 combined attribute
+    rows (geometry.ATTR layout).
+
+    Attr-corner assembly: with meshlet-local indices (local_tri), the main
+    triangles' three corner rows come from the exact one-hot MXU gather
+    (ops/meshlet_gather.gather_tri_rows, ~7x the XLA scalar-path gather at
+    this width); only the small clipped-fan tail uses XLA gathers.  Without
+    meshlets, plain XLA row-gathers (the CPU/reference path)."""
     off = I32(-cfg.min_coord)
-    a_v0 = attrs[su.v0]  # (S, 12)
-    a_v1 = attrs[su.v1]
-    a_v2 = attrs[su.v2]
+    if local_tri is not None:
+        from . import meshlet_gather
+        from .. import specmath as _sm
+
+        from ..scene import MESHLET_TRIS, MESHLET_VERTS
+
+        t_main = local_tri.shape[0]
+        v_main = (t_main // MESHLET_TRIS) * MESHLET_VERTS
+        a3 = meshlet_gather.gather_tri_rows(
+            _sm._bitcast_i32(attrs[:v_main], jnp), local_tri, interpret
+        )  # (T, 3, 12) i32
+        a3 = _sm._bitcast_f32(a3, jnp)
+        tail0 = attrs[su.v0[t_main:]]
+        tail1 = attrs[su.v1[t_main:]]
+        tail2 = attrs[su.v2[t_main:]]
+        # geometry rewinds front faces 0,2,1 (su.v1 = original corner 2,
+        # su.v2 = corner 1 — ops/geometry._finish_tri); match it here
+        a_v0 = jnp.concatenate([a3[:, 0, :], tail0], axis=0)
+        a_v1 = jnp.concatenate([a3[:, 2, :], tail1], axis=0)
+        a_v2 = jnp.concatenate([a3[:, 1, :], tail2], axis=0)
+    else:
+        a_v0 = attrs[su.v0]  # (S, 12)
+        a_v1 = attrs[su.v1]
+        a_v2 = attrs[su.v2]
     cols = [
         _pack16(su.x0 + off, su.y0 + off),
         _pack16(su.x1 + off, su.y1 + off),

@@ -215,7 +215,10 @@ def render_frame_fused(
     rmeta = fused_kernel.build_range_meta(order, bounds, cfg.n_tiles,
                                           cfg.grid_w)
     tras = tritables.build_ras_table(su, cfg)
-    tdist = tritables.build_dist_table(su, attrs_full, cfg)
+    tdist = tritables.build_dist_table(
+        su, attrs_full, cfg, local_tri=local_tri,
+        interpret=statics.interpret,
+    )
     pad = fused_kernel.WT + 256
     ras_b = tritables.ras_bytes(tras, pad)
     dist_p = tritables.dist_byte_planes(tdist, pad)

@@ -79,7 +79,10 @@ class Renderer:
     def _build_settings_dependent(self, scene: Scene, settings: RendererSettings):
         self.scene = scene
         self.settings = settings
-        packed = scene.pack()
+        # the fused pipeline wants meshlet-local indices so triangle-corner
+        # assembly runs as exact one-hot MXU gathers instead of XLA's
+        # scalar-path row gathers
+        packed = scene.pack(meshlets=settings.pipeline == "fused")
         self.packed = packed
         dev = self.device
         put = lambda a: jax.device_put(jnp.asarray(a), dev)

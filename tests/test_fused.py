@@ -216,6 +216,42 @@ def test_fused_matches_oracle_textured_lit():
     np.testing.assert_array_equal(np.asarray(fused), o["rgba8"])
 
 
+def test_fused_meshlets_matches_oracle():
+    """The Renderer's fused configuration: meshlet packing (Morton triangle
+    order + local indices) with the MXU corner/attr gathers — must equal the
+    oracle on the SAME packed scene bit-for-bit."""
+    from ash_renderer_tpu.oracle import render_oracle
+    from ash_renderer_tpu.pipeline import FrameStatics, render_frame_fused_jit
+
+    scene = _rand_scene(seed=13, nv=150, nt=220)
+    settings = RendererSettings(width=192, height=128, clip_budget=128)
+    cam = Camera()
+    packed = scene.pack(meshlets=True)
+    cfg = derive_raster_config(192, 128, tile_h=8)
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(192 / 128)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=False, has_atlas=False,
+        has_light=False, interpret=True,
+    )
+    fused, aux = render_frame_fused_jit(
+        statics,
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+        None, None, None, jnp.asarray(packed.local_tri),
+    )
+    o = render_oracle(packed, mm, view, proj, settings, cfg=cfg)
+    assert int((o["vis_tri"] >= 0).sum()) > 300
+    np.testing.assert_array_equal(np.asarray(aux["vis_tri"]), o["vis_tri"])
+    np.testing.assert_array_equal(np.asarray(fused), o["rgba8"])
+
+
 def test_tritables_roundtrip():
     su, attrs_full, cfg = _setup()
     tras = np.asarray(tritables.build_ras_table(su, cfg))
