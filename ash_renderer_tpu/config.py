@@ -97,10 +97,6 @@ class RasterConfig:
     tri_block: int = 128
     # Inner-loop unroll factor for the per-triangle loop.
     tri_unroll: int = 1
-    # Use the lane-parallel column-sweep visibility kernel (requires
-    # tile_h == 8; bit-identical output, ~4x fewer VPU cycles per pair).
-    lane_kernel: bool = False
-
     @property
     def subpixel_scale(self) -> int:
         return 1 << self.subpixel_bits
@@ -141,10 +137,7 @@ def derive_raster_config(
     tile_w: int = 128,
     guard_px: int = 32,
     tri_block: int = 128,
-    lane_kernel: bool = False,
 ) -> RasterConfig:
-    if lane_kernel:
-        tile_h = 8
     """Pick the largest subpixel precision that keeps int32 edge functions safe.
 
     The extent bound covers the tile-padded framebuffer (edge tiles extend
@@ -168,5 +161,4 @@ def derive_raster_config(
         tile_h=tile_h,
         tile_w=tile_w,
         tri_block=tri_block,
-        lane_kernel=lane_kernel,
     )

@@ -1,18 +1,24 @@
-"""The fused Pallas visibility + shading-distribute kernel.
+"""The fused Pallas visibility + shading-distribute kernel (v3: pre-sorted
+contiguous streams).
 
 One grid step per framebuffer tile (tile_h=8 x tile_w=128).  Replaces the
 round-1 chain [pair-record gather -> visibility kernel -> per-pixel setup
 gather -> 3 per-pixel attr gathers] whose XLA scalar-path gathers dominated
-the frame (~120 ms at 1080p/1.31M tris).  Everything random-access happens
-ON-CHIP as exact one-hot int8 MXU matmuls:
+the frame (~120 ms at 1080p/1.31M tris).  The v2 kernel gathered triangle
+rows ON-CHIP with windowed one-hot matmuls over the raw table; measured on
+hardware the windowed DMAs dominated (mean 48 windows per 128-slot segment
+at the headline workload, serialized start/wait -> 370 ms).  v3 moves the
+reorder OFF-chip: the pipeline gathers the combined per-triangle table into
+bin_sort streaming order ONCE per frame (XLA row gather, ~25 ms at 1.4M
+rows — measured cheaper than any in-kernel scheme), so every kernel access
+is ONE contiguous 128-aligned (128, 128) int32 slice per 128-slot segment:
 
 Phase V (visibility):
-  * stream the tile's work list as position ranges of the bin_sort order
-    (own run + neighbor prefixes + wide run — ops/binsort.py);
-  * per 128-slot window: DMA the ids, then gather each slot's T_RAS row by
-    windowed one-hot matmul over the byte-interleaved (S,128)-i8 table
-    (indices ascend within each (tile,group) run, so a few Wt-row windows
-    cover a window's id span);
+  * the tile's work list is 5 position ranges of the sorted order (own run +
+    neighbor prefixes + wide run — ops/binsort.py); segments are 128-slot
+    windows of each range, 128-aligned (slots outside [rs, re) are zeroed —
+    degenerate coverage never wins — with id sentinel -2 that matches no
+    winner);
   * evaluate 16 groups of 8 triangles (triangles in SUBLANES, the tile's
     128 pixel columns in LANES, 8 pixel rows swept with incremental edge
     updates) — exact int32 edges + the specmath D16 depth chain;
@@ -21,19 +27,21 @@ Phase V (visibility):
 
 Phase D (shading distribute):
   * re-stream the same ranges; one-hot match each slot's triangle id against
-    the tile's winner plane (each id binned at most once per tile, so every
+    the tile's winner plane (each id streams at most once per tile, so every
     covered pixel matches exactly one slot);
-  * gather the T_DIST row bytes (transposed byte planes) per slot and
-    matmul-distribute them to the 1024 tile pixels, accumulating int32 byte
-    planes that reassemble into the 44 per-pixel shading fields
-    (coords/inv_area/iw/mat/attr-corners) — the planes the XLA shading stage
+  * split the segment's (128, 128) block into int8 byte planes ON-CHIP and
+    matmul-distribute each plane to the 1024 tile pixels (transposed-lhs
+    dot_general over slots), accumulating four (1024, 128) int32 plane
+    buffers that reassemble into the per-pixel shading fields
+    (coords/inv_area/iw/mat/attr-corners) the XLA shading stage
     (ops/shade.shade_gathered) consumes with bit-identical math to the
     oracle's gather path.
 
 Exactness invariants: one-hot x int8 -> int32 matmuls reproduce bytes
 exactly; int32 edge/coverage arithmetic is modular-exact under any
-association; empty slots gather all-zero rows whose degenerate coverage
-test is false, so they never win or distribute.
+association; out-of-window slots are zeroed so their degenerate coverage
+test is false and their id sentinel (-2) matches no winner (valid ids are
+>= 0, background is -1).
 """
 
 from __future__ import annotations
@@ -49,84 +57,72 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import specmath as sm
 from ..config import RasterConfig
 from .binsort import N_GRP
-from .tritables import DIST_FIELDS, RAS_FIELDS
+from .tritables import ID_COL, TBL_COLS
 
 F32 = np.float32
 I32 = np.int32
 I8 = np.int8
 
-WT = 512  # table window rows per gather matmul
 N_RANGES = 5
-RMETA_COLS = 4  # rs, re, base128, nw per (tile, range)
+RMETA_COLS = 2  # rs, re per (tile, range)
 TILE_H = 8
 TILE_W = 128
 N_PIX = TILE_H * TILE_W
+OUT_COLS = 48  # distributed per-pixel fields (table cols 0-47)
 
 
-def build_range_meta(order, bounds, n_tiles: int, gw: int):
-    """(n_tiles * 5 * 4,) int32: [rs, re, base128, nw] per (tile, range).
+def build_range_meta(bounds, n_tiles: int, gw: int):
+    """(n_tiles * 5 * 2,) int32: [rs, re] per (tile, range).
 
-    base/span come from per-group first/last ids (ids ascend within each
-    (tile,group) run; ranges span whole groups, so min(first), max(last)
-    bound every id in the range)."""
-    s = order.shape[0]
-    t = jnp.arange(n_tiles, dtype=I32)
+    Ranges per tile (processing order): own full run, ABOVE prefix
+    {dr, r, d}, LEFT prefix {dr, r}, DIAGONAL prefix {dr}, wide run —
+    see ops/binsort.py for why prefixes of whole-group runs suffice.
+    One fused gather over a host-precomputable index/validity pattern
+    (tiny, but 20 separate 2k-element gathers cost ~20 ms in dispatch)."""
+    t = np.arange(n_tiles, dtype=np.int64)
     tx = t % gw
     ty = t // gw
-
+    ones = np.ones_like(t, dtype=bool)
     specs = [
-        (N_GRP * t, 4, jnp.full_like(t, True, dtype=bool)),
+        (N_GRP * t, 4, ones),
         (N_GRP * (t - gw), 3, ty > 0),
         (N_GRP * (t - 1), 2, tx > 0),
         (N_GRP * (t - gw - 1), 1, (tx > 0) & (ty > 0)),
-        (jnp.full_like(t, N_GRP * n_tiles), 1, jnp.full_like(t, True, bool)),
+        (np.full_like(t, N_GRP * n_tiles), 1, ones),
     ]
-    cols = []
     nb = bounds.shape[0]
-    for lo, ng, valid in specs:
-        rs = jnp.where(valid, bounds[jnp.clip(lo, 0, nb - 1)], 0)
-        re = jnp.where(valid, bounds[jnp.clip(lo + ng, 0, nb - 1)], 0)
-        gmin = jnp.full_like(t, np.iinfo(np.int32).max)
-        gmax = jnp.full_like(t, -1)
-        for gi in range(4):
-            if gi >= ng:
-                break
-            gs = bounds[jnp.clip(lo + gi, 0, nb - 1)]
-            ge = bounds[jnp.clip(lo + gi + 1, 0, nb - 1)]
-            has = valid & (ge > gs)
-            first = order[jnp.clip(gs, 0, s - 1)]
-            last = order[jnp.clip(ge - 1, 0, s - 1)]
-            gmin = jnp.where(has, jnp.minimum(gmin, first), gmin)
-            gmax = jnp.where(has, jnp.maximum(gmax, last), gmax)
-        nonempty = (re > rs) & (gmax >= 0)
-        base = jnp.where(nonempty, (gmin // 128) * 128, 0)
-        span = jnp.where(nonempty, gmax - base + 1, 0)
-        nw = jnp.where(nonempty, -(-span // WT), 0)
-        rs = jnp.where(nonempty, rs, 0)
-        re = jnp.where(nonempty, re, 0)
-        cols.append(jnp.stack([rs, re, base, nw], axis=1))
-    meta = jnp.stack(cols, axis=1)  # (n_tiles, 5, 4)
-    return meta.reshape(-1)
+    idx = np.zeros((n_tiles, N_RANGES, 2), np.int64)
+    valid = np.zeros((n_tiles, N_RANGES, 1), bool)
+    for i, (lo, ng, v) in enumerate(specs):
+        idx[:, i, 0] = np.clip(lo, 0, nb - 1)
+        idx[:, i, 1] = np.clip(lo + ng, 0, nb - 1)
+        valid[:, i, 0] = v
+    meta = jnp.where(
+        jnp.asarray(valid),
+        bounds[jnp.asarray(idx.reshape(-1), dtype=I32)].reshape(
+            n_tiles, N_RANGES, 2
+        ),
+        0,
+    )
+    rs = meta[..., 0]
+    re = jnp.maximum(meta[..., 1], rs)
+    return jnp.stack([rs, re], axis=-1).reshape(-1)
 
 
 def _kernel(
     rmeta_ref,
-    order_ref,
-    ras_ref,
-    dist_ref,
+    tbl_ref,
     vis_d_ref,
     vis_t_ref,
     planes_ref,
-    ids_s,
-    minmax_s,
+    tbl_blk,
     recs_s,
-    ras_win,
-    dist_win,
     flat_s,
-    out_tb,
-    sem_ids,
-    sem_ras,
-    sem_dist,
+    out_p0,
+    out_p1,
+    out_p2,
+    out_p3,
+    sem_tbl,
     *,
     cfg: RasterConfig,
     gw: int,
@@ -141,87 +137,30 @@ def _kernel(
     sy0 = (tile_y * TILE_H) * ss + half
 
     colp = jax.lax.broadcasted_iota(I32, (1, TILE_W), 1)
-    lanei = colp
+    subl = jax.lax.broadcasted_iota(I32, (TILE_W, 1), 0)
 
     def range_scalars(i):
         b = (t * N_RANGES + i) * RMETA_COLS
-        return (
-            rmeta_ref[b],
-            rmeta_ref[b + 1],
-            rmeta_ref[b + 2],
-            rmeta_ref[b + 3],
-        )
+        return rmeta_ref[b], rmeta_ref[b + 1]
 
-    def load_ids(pos, re):
-        """DMA + align the 128 ids at sorted positions [pos, pos+128);
-        lanes beyond re get rel -1 (gather no row, never cover).  Also
-        returns (k0, k1): the WT-window indices (relative to the range base)
-        actually touched by this segment's ids — windows follow the ids, so
-        a segment costs O(its own id span), not O(the whole range span)."""
-        ab = pl.multiple_of((pos // 128) * 128, 128)
+    def load_block(ab, rs, re):
+        """DMA the 128 sorted table rows at positions [ab, ab+128); returns
+        the raw (128, 128) block and the (128, 1) validity column for slots
+        inside [rs, re)."""
         cp = pltpu.make_async_copy(
-            order_ref.at[:, pl.ds(ab, 256)], ids_s, sem_ids
+            tbl_ref.at[pl.ds(ab, TILE_W), :], tbl_blk, sem_tbl
         )
         cp.start()
+        vcol = (subl >= rs - ab) & (subl < re - ab)
         cp.wait()
-        jofs = pos - ab
-        shift = jnp.where(jofs == 0, 0, 256 - jofs)
-        ids128 = pltpu.roll(ids_s[:], shift, 1)[:, 0:TILE_W]
-        valid = lanei < (re - pos)
-        # segment id bounds -> traced scalars via a scratch round-trip (the
-        # only way off the vector unit; static element reads are legal)
-        big = I32(np.iinfo(np.int32).max)
-        idmin = jnp.min(jnp.where(valid, ids128, big), axis=1, keepdims=True)
-        idmax = jnp.max(jnp.where(valid, ids128, I32(-1)), axis=1,
-                        keepdims=True)
-        minmax_s[0:1, 0:1] = idmin
-        minmax_s[0:1, 1:2] = idmax
-        return ids128, valid, minmax_s[0, 0], minmax_s[0, 1]
-
-    def gather_ras(rel_t, base, k0, k1):
-        """(128, 8) int32 rows of T_RAS for relative ids rel_t (128,1)."""
-
-        def win_body(k, recs_b):
-            # base is 128-rounded in rmeta and WT is a 128-multiple; the
-            # compiler needs the divisibility hint to lower the slice
-            off = pl.multiple_of(base + k * WT, 128)
-            cp = pltpu.make_async_copy(
-                ras_ref.at[pl.ds(off, WT), :], ras_win, sem_ras
-            )
-            cp.start()
-            ohrel = rel_t - k * WT
-            iw = jax.lax.broadcasted_iota(I32, (TILE_W, WT), 1)
-            oh = (iw == ohrel).astype(I8)
-            cp.wait()
-            return recs_b + jnp.dot(
-                oh, ras_win[:], preferred_element_type=I32
-            )
-
-        recs_b = jnp.zeros((TILE_W, 128), I32)
-        recs_b = jax.lax.fori_loop(k0, k1 + 1, win_body, recs_b)
-        # Reassemble int32 fields from the byte-plane columns.  Non-zero
-        # lane-offset slices of matmul results MISCOMPILE on this Mosaic
-        # version (measured: byte planes 2-3 corrupt); circular lane rolls +
-        # a zero-offset slice produce exact results, so align every plane to
-        # lane 0 first.
-        nf = RAS_FIELDS
-        r1 = pltpu.roll(recs_b, 128 - nf, 1)
-        r2 = pltpu.roll(recs_b, 128 - 2 * nf, 1)
-        r3 = pltpu.roll(recs_b, 128 - 3 * nf, 1)
-        full = (
-            (recs_b & 255)
-            | ((r1 & 255) << 8)
-            | ((r2 & 255) << 16)
-            | (r3 << 24)
-        )
-        return full[:, 0:nf]
+        return tbl_blk[:], vcol
 
     def unpack16(p):
         return ((p & 0xFFFF) + min_c), (((p >> 16) & 0xFFFF) + min_c)
 
     def eval_group(blk, ids_g, acc):
         """8 triangles (sublanes) x 128 columns x 8 swept rows.
-        blk: (8, RAS_FIELDS) records; ids_g: (8, 1) triangle ids."""
+        blk: (8, 6) records; ids_g: (8, 1) triangle ids."""
         acc_d, acc_t = acc
         x0, y0 = unpack16(blk[:, 0:1])
         x1, y1 = unpack16(blk[:, 1:2])
@@ -269,35 +208,30 @@ def _kernel(
     acc = tuple(acc_d + acc_t)
 
     for rng_i in range(N_RANGES):
-        rs, re, base, nw = range_scalars(rng_i)
-        nsw = -(-(re - rs) // TILE_W)
+        rs, re = range_scalars(rng_i)
+        ab0 = pl.multiple_of((rs // TILE_W) * TILE_W, TILE_W)
+        nsw = jnp.where(re > rs, -(-(re - ab0) // TILE_W), 0)
 
-        def sw_body(w, acc, rs=rs, re=re, base=base):
-            pos = rs + w * TILE_W
-            ids128, valid, idmin, idmax = load_ids(pos, re)
-            rel = jnp.where(valid, ids128 - base, I32(-1))
-            rel_t = rel.reshape(TILE_W, 1)
-            ids_t = rel_t + base
-            k0 = (idmin - base) // WT
-            k1 = (idmax - base) // WT
-            recs = gather_ras(rel_t, base, k0, k1)
-            # park records in scratch so the group loop can bound itself by
-            # the VALID slot count (neighbor-prefix segments are tiny; the
-            # all-padding groups would otherwise still pay full eval)
-            recs_s[:, 0:RAS_FIELDS] = recs
-            recs_s[:, RAS_FIELDS : RAS_FIELDS + 1] = ids_t
-            ng = -(-jnp.minimum(re - pos, TILE_W) // 8)
+        def sw_body(w, acc, rs=rs, re=re, ab0=ab0):
+            ab = pl.multiple_of(ab0 + w * TILE_W, TILE_W)
+            blk, vcol = load_block(ab, rs, re)
+            recs_s[:, 0:6] = jnp.where(vcol, blk[:, 0:6], I32(0))
+            recs_s[:, 6:7] = jnp.where(
+                vcol, blk[:, ID_COL : ID_COL + 1], I32(-2)
+            )
+            g0 = jnp.maximum(rs - ab, 0) // 8
+            ng = -(-jnp.minimum(re - ab, TILE_W) // 8)
 
             def grp_body(g, acc):
                 off = pl.multiple_of(8 * g, 8)
-                blk = recs_s[pl.ds(off, 8), 0:RAS_FIELDS]
-                ids_g = recs_s[pl.ds(off, 8), RAS_FIELDS : RAS_FIELDS + 1]
+                blk_g = recs_s[pl.ds(off, 8), 0:6]
+                ids_g = recs_s[pl.ds(off, 8), 6:7]
                 acc_d, acc_t = eval_group(
-                    blk, ids_g, (list(acc[:TILE_H]), list(acc[TILE_H:]))
+                    blk_g, ids_g, (list(acc[:TILE_H]), list(acc[TILE_H:]))
                 )
                 return tuple(acc_d + acc_t)
 
-            return jax.lax.fori_loop(0, ng, grp_body, acc)
+            return jax.lax.fori_loop(g0, ng, grp_body, acc)
 
         acc = jax.lax.fori_loop(0, nsw, sw_body, acc)
 
@@ -311,80 +245,71 @@ def _kernel(
         flat_s[0:1, TILE_W * r : TILE_W * (r + 1)] = acc_t[r]
     flatv = flat_s[:]  # (1, 1024) winner tri ids
 
-    out_tb[...] = jnp.zeros((4 * DIST_FIELDS, N_PIX), I32)
+    zero_p = jnp.zeros((N_PIX, TILE_W), I32)
+    out_p0[...] = zero_p
+    out_p1[...] = zero_p
+    out_p2[...] = zero_p
+    out_p3[...] = zero_p
+
+    dn = (((0,), (0,)), ((), ()))  # contract over slots (transposed lhs)
 
     for rng_i in range(N_RANGES):
-        rs, re, base, nw = range_scalars(rng_i)
-        nsw = -(-(re - rs) // TILE_W)
+        rs, re = range_scalars(rng_i)
+        ab0 = pl.multiple_of((rs // TILE_W) * TILE_W, TILE_W)
+        nsw = jnp.where(re > rs, -(-(re - ab0) // TILE_W), 0)
 
-        def swd_body(w, _, rs=rs, re=re, base=base):
-            pos = rs + w * TILE_W
-            ids128, valid, idmin, idmax = load_ids(pos, re)
-            rel = jnp.where(valid, ids128 - base, I32(-1))
-            rel_t = rel.reshape(TILE_W, 1)
-            k0 = (idmin - base) // WT
-            k1 = (idmax - base) // WT
-            oh_d = ((rel_t + base == flatv) & (rel_t >= 0)).astype(I8)
-
-            def win_body(k, recs_ts):
-                off = pl.multiple_of(base + k * WT, 128)
-                cp = pltpu.make_async_copy(
-                    dist_ref.at[:, pl.ds(off, WT)],
-                    dist_win,
-                    sem_dist,
+        def swd_body(w, _, rs=rs, re=re, ab0=ab0):
+            ab = pl.multiple_of(ab0 + w * TILE_W, TILE_W)
+            blk, vcol = load_block(ab, rs, re)
+            ids_col = jnp.where(
+                vcol, blk[:, ID_COL : ID_COL + 1], I32(-2)
+            )  # (128, 1)
+            oh_d = (ids_col == flatv).astype(I8)  # (128, 1024)
+            for out_p, k in (
+                (out_p0, 0),
+                (out_p1, 1),
+                (out_p2, 2),
+                (out_p3, 3),
+            ):
+                bk = ((blk >> (8 * k)) & 255).astype(I8)  # (128, 128)
+                out_p[...] = out_p[...] + jax.lax.dot_general(
+                    oh_d, bk, dn, preferred_element_type=I32
                 )
-                cp.start()
-                iw = jax.lax.broadcasted_iota(I32, (WT, TILE_W), 0)
-                ohg = (iw == (rel - k * WT)).astype(I8)  # (WT, 128)
-                cp.wait()
-                return recs_ts + jnp.dot(
-                    dist_win[:], ohg, preferred_element_type=I32
-                )
-
-            # (192, 128): all 4 byte planes of this window's records
-            recs_ts = jnp.zeros((4 * DIST_FIELDS, TILE_W), I32)
-            recs_ts = jax.lax.fori_loop(k0, k1 + 1, win_body, recs_ts)
-            out_tb[...] = out_tb[...] + jnp.dot(
-                recs_ts.astype(I8), oh_d, preferred_element_type=I32
-            )
             return 0
 
         jax.lax.fori_loop(0, nsw, swd_body, 0)
 
-    o = out_tb[...]
-    f = DIST_FIELDS
-    planes_ref[0] = (
-        (o[0:f] & 255)
-        | ((o[f : 2 * f] & 255) << 8)
-        | ((o[2 * f : 3 * f] & 255) << 16)
-        | (o[3 * f : 4 * f] << 24)
-    )
+    o = (
+        (out_p0[...] & 255)
+        | ((out_p1[...] & 255) << 8)
+        | ((out_p2[...] & 255) << 16)
+        | (out_p3[...] << 24)
+    )  # (1024, 128)
+    planes_ref[0] = o[:, 0:OUT_COLS]
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "interpret", "tile_rows")
 )
 def rasterize_distribute(
-    order,
     rmeta,
-    ras_b,
-    dist_p,
+    tbl_sorted,
     cfg: RasterConfig,
     interpret: bool = False,
     tile_rows: int | None = None,
 ):
     """Run the fused kernel over the tile grid.
 
-    order:  (1, S_pad) i32 sorted row ids (binsort order, padded >= +256);
-    rmeta:  flattened range meta (build_range_meta);
-    ras_b:  (S_pad2, 128) i8 visibility table bytes (tritables.ras_bytes);
-    dist_p: (192, S_pad2) i8 distribute byte planes (tritables layout).
+    rmeta:      flattened range meta (build_range_meta);
+    tbl_sorted: (S_pad, 128) i32 combined table in bin_sort streaming order
+                (tritables.sorted_table).
 
     Returns (vis_d, vis_t, planes) — vis planes cropped to (height, width),
-    planes (n_tiles, 44, 1024) int32 per-pixel shading fields (uncropped
-    tile-flat layout; the pipeline unpacks and crops).
+    planes (n_tiles, 1024, 48) int32 per-pixel shading fields in table-col
+    order (uncropped tile-flat layout; the pipeline unpacks and crops).
     """
     assert cfg.tile_h == TILE_H and cfg.tile_w == TILE_W
+    assert tbl_sorted.shape[1] == TBL_COLS
     full = tile_rows is None
     if full:
         tile_rows = cfg.grid_h
@@ -394,7 +319,7 @@ def rasterize_distribute(
     out_shape = (
         jax.ShapeDtypeStruct((tile_rows * TILE_H, gw * TILE_W), I32),
         jax.ShapeDtypeStruct((tile_rows * TILE_H, gw * TILE_W), I32),
-        jax.ShapeDtypeStruct((n_tiles, DIST_FIELDS, N_PIX), I32),
+        jax.ShapeDtypeStruct((n_tiles, N_PIX, OUT_COLS), I32),
     )
     block = pl.BlockSpec(
         (TILE_H, TILE_W),
@@ -402,29 +327,23 @@ def rasterize_distribute(
         memory_space=pltpu.VMEM,
     )
     planes_block = pl.BlockSpec(
-        (1, DIST_FIELDS, N_PIX),
+        (1, N_PIX, OUT_COLS),
         lambda t, *_: (t, 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(block, block, planes_block),
         scratch_shapes=[
-            pltpu.VMEM((1, 256), I32),
-            pltpu.VMEM((1, 128), I32),
-            pltpu.VMEM((TILE_W, 16), I32),
-            pltpu.VMEM((WT, 128), I8),
-            pltpu.VMEM((4 * DIST_FIELDS, WT), I8),
+            pltpu.VMEM((TILE_W, TBL_COLS), I32),
+            pltpu.VMEM((TILE_W, 8), I32),
             pltpu.VMEM((1, N_PIX), I32),
-            pltpu.VMEM((4 * DIST_FIELDS, N_PIX), I32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((N_PIX, TILE_W), I32),
+            pltpu.VMEM((N_PIX, TILE_W), I32),
+            pltpu.VMEM((N_PIX, TILE_W), I32),
+            pltpu.VMEM((N_PIX, TILE_W), I32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -433,7 +352,7 @@ def rasterize_distribute(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rmeta, order, ras_b, dist_p)
+    )(rmeta, tbl_sorted)
     if full:
         return (
             vis_d[: cfg.height, : cfg.width],

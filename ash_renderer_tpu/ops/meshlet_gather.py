@@ -56,7 +56,7 @@ def _rows_kernel(idx_ref, tbl_ref, out_ref, *, nf: int):
     r3 = pltpu.roll(got, 128 - 3 * nf, 1)
     full = (got & 255) | ((r1 & 255) << 8) | ((r2 & 255) << 16) | (r3 << 24)
     vals = full[:, 0:nf]  # (384, nf)
-    out_ref[0] = jnp.concatenate(
+    out_ref[...] = jnp.concatenate(
         [
             vals[0:MESHLET_TRIS],
             vals[MESHLET_TRIS : 2 * MESHLET_TRIS],
@@ -70,7 +70,12 @@ def _rows_kernel(idx_ref, tbl_ref, out_ref, *, nf: int):
 def gather_tri_rows(tbl, local_tri, interpret: bool = False):
     """Exact meshlet-local corner gather: tbl (V, F) int32 with
     V = n_meshlets * 128, local_tri (T, 3) int32 in [0, 128).  Returns
-    (T, 3, F) int32, bitwise equal to tbl[tri_v] per corner.  F <= 32."""
+    (T, 3*F) int32 — corner k's row at cols [k*F, (k+1)*F), bitwise equal
+    to tbl[tri_v[:, k]].  F <= 32.
+
+    2-D on purpose: a (T, 3, F) result would tile-pad its (3, F) minor dims
+    to (8, 128) — 5.4 GB of phantom HBM at 1.3M triangles, measured to turn
+    every downstream slice into a ~100 ms relayout."""
     v, nf = tbl.shape
     assert nf <= 32
     m = v // MESHLET_VERTS
@@ -91,7 +96,7 @@ def gather_tri_rows(tbl, local_tri, interpret: bool = False):
 
     out = pl.pallas_call(
         functools.partial(_rows_kernel, nf=nf),
-        out_shape=jax.ShapeDtypeStruct((m, MESHLET_TRIS, 3 * nf), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((t, 3 * nf), jnp.int32),
         grid=(m,),
         in_specs=[
             pl.BlockSpec((1, 3, MESHLET_TRIS), lambda i: (i, 0, 0),
@@ -100,9 +105,9 @@ def gather_tri_rows(tbl, local_tri, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, MESHLET_TRIS, 3 * nf), lambda i: (i, 0, 0),
+            (MESHLET_TRIS, 3 * nf), lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(idx, tblb)
-    return out.reshape(t, 3, nf)
+    return out

@@ -74,9 +74,9 @@ def _slab_pipeline(
     rec_i, rec_f, tile_start, tile_count, bstats = binning.bin_triangles(
         su, cfg, st.max_pairs, tile_row0, rows_per
     )
-    from ..pipeline import _raster_fn
+    from ..ops import raster_pallas
 
-    vis_d, vis_t = _raster_fn(cfg)(
+    vis_d, vis_t = raster_pallas.rasterize_visibility(
         rec_i, rec_f, tile_start, tile_count, cfg,
         interpret=statics.interpret, tile_rows=rows_per,
     )

@@ -26,7 +26,6 @@ from .ops import (
     binsort,
     fused_kernel,
     geometry,
-    raster_lanes,
     raster_pallas,
     shade,
     tritables,
@@ -36,16 +35,6 @@ from .scene import PackedScene, Scene
 
 F32 = np.float32
 I32 = np.int32
-
-
-def _raster_fn(cfg: RasterConfig):
-    """The configured visibility kernel — ONE switch honored by both the
-    fused and the staged pipelines (the kernels are bit-identical)."""
-    return (
-        raster_lanes.rasterize_visibility_lanes
-        if cfg.lane_kernel
-        else raster_pallas.rasterize_visibility
-    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +66,7 @@ def render_frame(
     atlas,
     light: Optional[LightPack],
     local_tri=None,
+    tri_mat=None,
 ):
     """Pure function of device arrays -> (rgba8, aux dict).  Jitted by the
     Renderer with `statics` as a static argument."""
@@ -88,12 +78,12 @@ def render_frame(
     )
     su, attrs_full, gstats = geometry.geometry_device(
         clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget,
-        local_tri=local_tri, interpret=statics.interpret,
+        local_tri=local_tri, interpret=statics.interpret, tri_mat=tri_mat,
     )
     rec_i, rec_f, tile_start, tile_count, bstats = binning.bin_triangles(
         su, cfg, st.max_pairs
     )
-    vis_d, vis_t = _raster_fn(cfg)(
+    vis_d, vis_t = raster_pallas.rasterize_visibility(
         rec_i, rec_f, tile_start, tile_count, cfg, interpret=statics.interpret
     )
     rgba = shade.shade(
@@ -130,12 +120,12 @@ render_frame_jit = jax.jit(render_frame, static_argnames=("statics",))
 
 
 def _planes_to_fields(planes, cfg: RasterConfig, tile_rows: int):
-    """(n_tiles, 44, 1024) kernel planes -> (44, H, W) per-pixel fields."""
+    """(n_tiles, 1024, 48) kernel planes -> (48, H, W) per-pixel fields."""
     gw = cfg.grid_w
-    f = fused_kernel.DIST_FIELDS
+    f = fused_kernel.OUT_COLS
     th, tw = fused_kernel.TILE_H, fused_kernel.TILE_W
-    img = planes.reshape(tile_rows, gw, f, th, tw)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(f, tile_rows * th, gw * tw)
+    img = planes.reshape(tile_rows, gw, th, tw, f)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(f, tile_rows * th, gw * tw)
     return img
 
 
@@ -146,17 +136,19 @@ def _shade_from_planes(statics, fields, vis_t, camera_pos, materials, atlas,
     st = statics.settings
     valid = vis_t >= 0
     g = {}
+    # field indices = tritables table-column layout (cols 3-4 are the
+    # visibility-only zq fields; col 46 is the id debug plane)
     g["x0"], g["y0"] = tritables.unpack_coord_planes(fields[0], cfg)
     g["x1"], g["y1"] = tritables.unpack_coord_planes(fields[1], cfg)
     g["x2"], g["y2"] = tritables.unpack_coord_planes(fields[2], cfg)
-    g["inv_area2"] = sm_bitcast(fields[3])
-    g["iw0"] = sm_bitcast(fields[4])
-    g["iw1"] = sm_bitcast(fields[5])
-    g["iw2"] = sm_bitcast(fields[6])
-    g["mat"] = fields[7]
-    a_v0 = sm_bitcast(jnp.stack([fields[8 + i] for i in range(12)], axis=-1))
-    a_v1 = sm_bitcast(jnp.stack([fields[20 + i] for i in range(12)], axis=-1))
-    a_v2 = sm_bitcast(jnp.stack([fields[32 + i] for i in range(12)], axis=-1))
+    g["inv_area2"] = sm_bitcast(fields[5])
+    g["iw0"] = sm_bitcast(fields[6])
+    g["iw1"] = sm_bitcast(fields[7])
+    g["iw2"] = sm_bitcast(fields[8])
+    g["mat"] = fields[9]
+    a_v0 = sm_bitcast(jnp.stack([fields[10 + i] for i in range(12)], axis=-1))
+    a_v1 = sm_bitcast(jnp.stack([fields[22 + i] for i in range(12)], axis=-1))
+    a_v2 = sm_bitcast(jnp.stack([fields[34 + i] for i in range(12)], axis=-1))
     rgba = shade.shade_gathered(
         jnp,
         valid,
@@ -198,6 +190,7 @@ def render_frame_fused(
     atlas,
     light: Optional[LightPack],
     local_tri=None,
+    tri_mat=None,
 ):
     """Same signature and bit-identical results as render_frame, via the
     fused kernel (ops/fused_kernel.py)."""
@@ -209,22 +202,17 @@ def render_frame_fused(
     )
     su, attrs_full, gstats = geometry.geometry_device(
         clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget,
-        local_tri=local_tri, interpret=statics.interpret,
+        local_tri=local_tri, interpret=statics.interpret, tri_mat=tri_mat,
     )
     order, bounds = binsort.bin_sort(su, cfg)
-    rmeta = fused_kernel.build_range_meta(order, bounds, cfg.n_tiles,
-                                          cfg.grid_w)
-    tras = tritables.build_ras_table(su, cfg)
-    tdist = tritables.build_dist_table(
+    rmeta = fused_kernel.build_range_meta(bounds, cfg.n_tiles, cfg.grid_w)
+    comb = tritables.build_comb_table(
         su, attrs_full, cfg, local_tri=local_tri,
         interpret=statics.interpret,
     )
-    pad = fused_kernel.WT + 256
-    ras_b = tritables.ras_bytes(tras, pad)
-    dist_p = tritables.dist_byte_planes(tdist, pad)
-    order2 = jnp.pad(order, (0, 384)).reshape(1, -1)
+    tbl_sorted = tritables.sorted_table(comb, order, 256)
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
-        order2, rmeta, ras_b, dist_p, cfg, interpret=statics.interpret
+        rmeta, tbl_sorted, cfg, interpret=statics.interpret
     )
     fields = _planes_to_fields(planes, cfg, cfg.grid_h)[
         :, : cfg.height, : cfg.width
@@ -253,13 +241,13 @@ render_frame_fused_jit = jax.jit(
 )
 def _stage_geometry(cfg, clip_budget, positions, vert_obj, normals, colors,
                     uvs, tri_v, tri_obj, obj_material, model_mats, mvp_mats,
-                    local_tri=None, interpret=False):
+                    local_tri=None, interpret=False, tri_mat=None):
     clip, attrs = geometry.transform_vertices(
         positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
     )
     return geometry.geometry_device(
         clip, attrs, tri_v, tri_obj, obj_material, cfg, clip_budget,
-        local_tri=local_tri, interpret=interpret,
+        local_tri=local_tri, interpret=interpret, tri_mat=tri_mat,
     )
 
 
@@ -294,6 +282,7 @@ def render_frame_staged(
     model_mats, mvp_mats, camera_pos,
     materials, atlas, light,
     local_tri=None,
+    tri_mat=None,
 ):
     """Same signature/results as render_frame, via per-stage jits."""
     cfg = statics.cfg
@@ -301,12 +290,12 @@ def render_frame_staged(
     su, attrs_full, gstats = _stage_geometry(
         cfg, st.clip_budget, positions, vert_obj, normals, colors, uvs,
         tri_v, tri_obj, obj_material, model_mats, mvp_mats,
-        local_tri=local_tri, interpret=statics.interpret,
+        local_tri=local_tri, interpret=statics.interpret, tri_mat=tri_mat,
     )
     rec_i, rec_f, tile_start, tile_count, bstats = _stage_binning(
         cfg, st.max_pairs, su
     )
-    vis_d, vis_t = _raster_fn(cfg)(
+    vis_d, vis_t = raster_pallas.rasterize_visibility(
         rec_i, rec_f, tile_start, tile_count, cfg, interpret=statics.interpret
     )
     rgba8 = _stage_shade(

@@ -98,6 +98,13 @@ class Renderer:
             local_tri=(
                 put(packed.local_tri) if packed.local_tri is not None else None
             ),
+            # static per scene: per-triangle material ids precomputed on the
+            # host so the frame never pays a T-sized scalar-path gather
+            tri_mat=put(
+                packed.obj_material[
+                    np.clip(packed.tri_obj, 0, len(packed.obj_material) - 1)
+                ]
+            ),
         )
         self.materials = MaterialsPack(
             base_color=put(
@@ -212,6 +219,7 @@ class Renderer:
             self.atlas,
             self.light,
             self._buffers["local_tri"],
+            self._buffers["tri_mat"],
         )
         self.stats.record_dispatch(time.perf_counter() - t0)
         return rgba8, aux

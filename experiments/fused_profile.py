@@ -1,6 +1,5 @@
 """Profile the fused pipeline's stages on TPU at the config4 workload, and
-report the sorted-order id-span statistics that drive the kernel's windowed
-gather costs."""
+report segment statistics that drive the kernel's streaming costs."""
 import os
 import sys
 import time
@@ -35,7 +34,7 @@ def main():
 
     scene, settings, cams = config4_million_tri(subdiv=8)
     cam = cams[0]
-    packed = scene.pack()
+    packed = scene.pack(meshlets=True)
     cfg = derive_raster_config(
         settings.render_width, settings.render_height, tile_h=8
     )
@@ -53,15 +52,20 @@ def main():
     ]
     force(dev_args)
 
+    local_tri = (
+        jnp.asarray(packed.local_tri) if packed.local_tri is not None else None
+    )
+
     @jax.jit
     def stage_geom(pos, vo, nr, co, uv, tv, to, om, m, v):
         clip, attrs = geometry.transform_vertices(pos, vo, nr, co, uv, m, v)
         return geometry.geometry_device(
-            clip, attrs, tv, to, om, cfg, settings.clip_budget
+            clip, attrs, tv, to, om, cfg, settings.clip_budget,
+            local_tri=local_tri,
         )
 
     dt, (su, attrs_full, gstats) = timeit(stage_geom, *dev_args)
-    print(f"geometry (XLA corner gathers): {dt*1000:.1f} ms", flush=True)
+    print(f"geometry (meshlet corner gathers): {dt*1000:.1f} ms", flush=True)
 
     @jax.jit
     def stage_binsort(su):
@@ -71,78 +75,102 @@ def main():
     print(f"binsort: {dt*1000:.1f} ms", flush=True)
 
     @jax.jit
-    def stage_meta(order, bounds):
-        return fused_kernel.build_range_meta(order, bounds, cfg.n_tiles,
-                                             cfg.grid_w)
+    def stage_meta(bounds):
+        return fused_kernel.build_range_meta(bounds, cfg.n_tiles, cfg.grid_w)
 
-    dt, rmeta = timeit(stage_meta, order, bounds)
+    dt, rmeta = timeit(stage_meta, bounds)
     print(f"range meta: {dt*1000:.1f} ms", flush=True)
 
     @jax.jit
-    def stage_tables(su, attrs_full):
-        tras = tritables.build_ras_table(su, cfg)
-        tdist = tritables.build_dist_table(su, attrs_full, cfg)
-        pad = fused_kernel.WT + 256
-        return tritables.ras_bytes(tras, pad), tritables.dist_byte_planes(
-            tdist, pad
-        )
+    def stage_build(su, attrs_full):
+        return tritables.build_comb_table(su, attrs_full, cfg,
+                                          local_tri=local_tri)
 
-    dt, (ras_b, dist_p) = timeit(stage_tables, su, attrs_full)
-    print(f"tables (incl. 3 XLA attr gathers): {dt*1000:.1f} ms", flush=True)
+    dt, comb = timeit(stage_build, su, attrs_full)
+    print(f"comb table build (incl. attr gathers): {dt*1000:.1f} ms",
+          flush=True)
 
-    order2 = jnp.pad(order, (0, 384)).reshape(1, -1)
-    force([order2, rmeta])
+    @jax.jit
+    def stage_sort_table(comb, order):
+        return tritables.sorted_table(comb, order, 256)
+
+    dt, tbl_sorted = timeit(stage_sort_table, comb, order)
+    print(f"sorted-table gather: {dt*1000:.1f} ms", flush=True)
 
     dt, (vis_d, vis_t, planes) = timeit(
-        lambda: fused_kernel.rasterize_distribute(
-            order2, rmeta, ras_b, dist_p, cfg
-        ),
+        lambda: fused_kernel.rasterize_distribute(rmeta, tbl_sorted, cfg),
         reps=3,
     )
     print(f"FUSED KERNEL: {dt*1000:.1f} ms", flush=True)
 
-    # ---- id-span statistics on host
-    orderh = np.asarray(order)
+    # ---- final shade from distributed planes (the XLA tail)
+    from ash_renderer_tpu.pipeline import (
+        FrameStatics, _planes_to_fields, _shade_from_planes,
+    )
+    from ash_renderer_tpu.rtypes import LightPack, MaterialsPack
+
+    F32 = np.float32
+    mats = MaterialsPack(
+        base_color=jnp.asarray(
+            np.array([m.base_color for m in scene.materials], F32)
+        ),
+        tex_id=jnp.asarray(
+            np.array([m.texture_id for m in scene.materials], np.int32)
+        ),
+        specular=jnp.asarray(
+            np.array([m.specular for m in scene.materials], F32)
+        ),
+        shininess=jnp.asarray(
+            np.array([m.shininess for m in scene.materials], np.int32)
+        ),
+    )
+    atlas = (
+        jax.tree.map(jnp.asarray, scene.atlas)
+        if scene.atlas is not None else None
+    )
+    light = None
+    if scene.light is not None:
+        light = LightPack(
+            direction=jnp.asarray(np.asarray(scene.light.direction, F32)),
+            color=jnp.asarray(np.asarray(scene.light.color, F32)),
+            ambient=jnp.asarray(np.asarray(scene.light.ambient, F32)),
+        )
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=True,
+        has_atlas=atlas is not None, has_light=light is not None,
+        interpret=False,
+    )
+    cam_pos = jnp.asarray(cam.position.astype(np.float32))
+
+    @jax.jit
+    def stage_shade(planes, vis_t, cam_pos, mats, atlas, light):
+        fields = _planes_to_fields(planes, cfg, cfg.grid_h)[
+            :, : cfg.height, : cfg.width
+        ]
+        return _shade_from_planes(
+            statics, fields, vis_t, cam_pos, mats, atlas, light
+        )
+
+    dt, rgba8 = timeit(stage_shade, planes, vis_t, cam_pos, mats, atlas,
+                       light)
+    print(f"shade-from-planes: {dt*1000:.1f} ms", flush=True)
+
+    # ---- segment statistics on host (kernel work model)
     boundsh = np.asarray(bounds)
     n_tiles = cfg.n_tiles
-    spans = []
-    wins = []
-    counts = []
+    rmetah = np.asarray(rmeta).reshape(n_tiles, 5, 2)
+    segs = 0
+    slots = 0
     for tile in range(n_tiles):
-        rs, re = boundsh[tile * 4], boundsh[(tile + 1) * 4]
-        if re <= rs:
-            continue
-        counts.append(re - rs)
-        ids = orderh[rs:re]
-        for p in range(rs, re, 128):
-            seg = orderh[p : min(p + 128, re)]
-            span = int(seg.max() - seg.min())
-            spans.append(span)
-            wins.append(span // fused_kernel.WT + 1)
-    spans = np.array(spans)
-    wins = np.array(wins)
-    counts = np.array(counts)
-    print(
-        f"own runs: n={counts.size} mean={counts.mean():.0f} "
-        f"p99={np.percentile(counts, 99):.0f} max={counts.max()}",
-        flush=True,
-    )
-    print(
-        f"segment id-span: mean={spans.mean():.0f} "
-        f"p50={np.percentile(spans, 50):.0f} "
-        f"p99={np.percentile(spans, 99):.0f} max={spans.max()}",
-        flush=True,
-    )
-    print(
-        f"windows/segment (WT={fused_kernel.WT}): mean={wins.mean():.2f} "
-        f"p99={np.percentile(wins, 99):.0f} max={wins.max()} "
-        f"total={wins.sum()}",
-        flush=True,
-    )
+        for rs, re in rmetah[tile]:
+            if re <= rs:
+                continue
+            ab0 = (rs // 128) * 128
+            segs += -(-(re - ab0) // 128)
+            slots += re - rs
+    print(f"segments/phase: {segs}, streamed slots: {slots}", flush=True)
     wide_n = int(boundsh[n_tiles * 4 + 1] - boundsh[n_tiles * 4])
     print(f"wide run: {wide_n} triangles", flush=True)
-    nseg = len(spans)
-    print(f"own segments: {nseg} (x2 phases, + neighbor ranges)", flush=True)
 
 
 if __name__ == "__main__":

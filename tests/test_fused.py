@@ -254,32 +254,34 @@ def test_fused_meshlets_matches_oracle():
 
 def test_tritables_roundtrip():
     su, attrs_full, cfg = _setup()
-    tras = np.asarray(tritables.build_ras_table(su, cfg))
-    x0, y0 = tritables.unpack_coord_planes(tras[:, 0], cfg)
+    comb = np.asarray(tritables.build_comb_table(su, attrs_full, cfg))
+    x0, y0 = tritables.unpack_coord_planes(comb[:, 0], cfg)
     np.testing.assert_array_equal(np.asarray(x0), np.asarray(su.x0))
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(su.y0))
-    zq0 = tras[:, 3] & 0xFFFF
-    zq1 = (tras[:, 3] >> 16) & 0xFFFF
+    zq0 = comb[:, 3] & 0xFFFF
+    zq1 = (comb[:, 3] >> 16) & 0xFFFF
     np.testing.assert_array_equal(zq0, np.asarray(su.zq0))
     np.testing.assert_array_equal(zq1, np.asarray(su.zq1))
-    inv = tras[:, 5].view(np.float32)
+    inv = comb[:, 5].copy().view(np.float32)
     np.testing.assert_array_equal(inv, np.asarray(su.inv_area2))
-
-    tdist = np.asarray(tritables.build_dist_table(su, attrs_full, cfg))
-    a_v0 = tdist[:, 8:20].view(np.float32).reshape(-1, 12)
+    a_v0 = comb[:, 10:22].copy().view(np.float32)
     np.testing.assert_array_equal(
         a_v0, np.asarray(attrs_full)[np.asarray(su.v0)]
     )
-    # byte planes reassemble to the table ((192, S) layout: plane k = rows
-    # [48k, 48k+48))
-    planes = np.asarray(
-        tritables.dist_byte_planes(jnp.asarray(tdist), 0)
-    ).astype(np.int32)
-    f = tritables.DIST_FIELDS
-    re = (
-        (planes[0:f] & 255)
-        | ((planes[f : 2 * f] & 255) << 8)
-        | ((planes[2 * f : 3 * f] & 255) << 16)
-        | (planes[3 * f : 4 * f] << 24)
-    ).T
-    np.testing.assert_array_equal(re, tdist)
+
+    # id column is the row index; zero pad after it
+    s = comb.shape[0]
+    np.testing.assert_array_equal(
+        comb[:, tritables.ID_COL], np.arange(s, dtype=np.int32)
+    )
+    np.testing.assert_array_equal(comb[:, tritables.ID_COL + 1 :], 0)
+
+    # sorted table: rows follow the order permutation and carry ids
+    rng = np.random.default_rng(0)
+    order = jnp.asarray(rng.permutation(s).astype(np.int32))
+    tbl = np.asarray(tritables.sorted_table(jnp.asarray(comb), order, 256))
+    orderh = np.asarray(order)
+    assert tbl.shape == (s + 256, tritables.TBL_COLS)
+    np.testing.assert_array_equal(tbl[:s, tritables.ID_COL], orderh)
+    np.testing.assert_array_equal(tbl[s:, tritables.ID_COL], s - 1)
+    np.testing.assert_array_equal(tbl[:s], comb[orderh])
