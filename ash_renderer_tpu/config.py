@@ -58,11 +58,13 @@ class RendererSettings:
     # Per-stage jits instead of one fused frame function: ~10x faster
     # compiles at 1M-triangle shapes, a few percent slower steady-state.
     staged_pipeline: bool = False
-    # Pipeline implementation: "fused" = the sort-binned fused Pallas kernel
-    # (on-chip one-hot gathers, no XLA scalar-path gathers, budget-free
-    # binning); "classic" = the round-1 pair-record pipeline. Bit-identical
-    # outputs (tests/test_fused.py).
-    pipeline: str = "classic"
+    # Pipeline implementation: "fused" = the sort-binned fused Pallas
+    # kernels (setup kernel + raster/distribute kernel, no XLA scalar-path
+    # gathers, budget-free binning); "classic" = the round-1 pair-record
+    # pipeline; "auto" = fused on TPU, classic elsewhere (Pallas interpret
+    # mode is slow on CPU). Bit-identical outputs (tests/test_fused.py,
+    # tests/test_setup_kernel.py).
+    pipeline: str = "auto"
 
     @property
     def render_width(self) -> int:

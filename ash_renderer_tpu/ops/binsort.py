@@ -49,19 +49,15 @@ GRP_NONE = 3
 N_GRP = 4
 
 
-def bin_sort(su: TriangleSetup, cfg: RasterConfig,
-             tile_row0: int = 0, tile_rows: int | None = None):
-    """Returns (order, bounds, n_wide_key) for the tile-row window
-    [tile_row0, tile_row0 + tile_rows):
-
-    * order:  (S,) int32 — setup-row indices sorted by streaming key;
-    * bounds: (n_tiles * 4 + 3,) int32 — start position of every
-      (tile, group) run in ``order``, then the wide run start, the dead run
-      start, and S.  Run [bounds[k], bounds[k+1]) holds key k's rows.
-    """
+def stream_keys(valid, x0, y0, x1, y1, x2, y2, cfg: RasterConfig,
+                tile_row0: int = 0, tile_rows: int | None = None):
+    """Per-row streaming key from setup fields: ``tile * 4 + group`` for
+    in-window triangles, the wide key for >2-tile spans, the dead key
+    otherwise.  The setup kernel (ops/setup_kernel.py) computes the same
+    formulas in-kernel for main rows; this is the XLA form for clipped-fan
+    tails and the non-meshlet path."""
     ss = cfg.subpixel_scale
     half = ss // 2
-    s_rows = su.x0.shape[0]
     if tile_rows is None:
         tile_rows = cfg.grid_h
     gw = cfg.grid_w
@@ -69,10 +65,10 @@ def bin_sort(su: TriangleSetup, cfg: RasterConfig,
     py_lo = tile_row0 * cfg.tile_h
     py_hi = jnp.minimum((tile_row0 + tile_rows) * cfg.tile_h, cfg.height) - 1
 
-    xmin = jnp.minimum(jnp.minimum(su.x0, su.x1), su.x2)
-    xmax = jnp.maximum(jnp.maximum(su.x0, su.x1), su.x2)
-    ymin = jnp.minimum(jnp.minimum(su.y0, su.y1), su.y2)
-    ymax = jnp.maximum(jnp.maximum(su.y0, su.y1), su.y2)
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
 
     # pixel AABB (inclusive), clamped to the window — identical arithmetic to
     # the pair binner (ops/binning.py) so coverage parity is preserved
@@ -81,7 +77,7 @@ def bin_sort(su: TriangleSetup, cfg: RasterConfig,
     pymin = jnp.maximum(py_lo, (ymin - half + ss - 1) // ss)
     pymax = jnp.minimum(py_hi, (ymax - half) // ss)
 
-    live = su.valid & (pxmax >= pxmin) & (pymax >= pymin)
+    live = valid & (pxmax >= pxmin) & (pymax >= pymin)
     tx0 = pxmin // cfg.tile_w
     tx1 = pxmax // cfg.tile_w
     ty0 = pymin // cfg.tile_h - tile_row0
@@ -98,20 +94,43 @@ def bin_sort(su: TriangleSetup, cfg: RasterConfig,
     tile = (ty0 * gw + tx0).astype(I32)
     key_wide = I32(n_tiles * N_GRP)
     key_dead = I32(n_tiles * N_GRP + 1)
-    key = jnp.where(
+    return jnp.where(
         live,
         jnp.where(wide, key_wide, tile * N_GRP + grp),
         key_dead,
     )
 
+
+def sort_and_bounds(key, cfg: RasterConfig, tile_rows: int | None = None):
+    """Sort rows by streaming key; returns (order, bounds) as bin_sort."""
+    s_rows = key.shape[0]
+    if tile_rows is None:
+        tile_rows = cfg.grid_h
+    n_tiles = tile_rows * cfg.grid_w
     order = jnp.arange(s_rows, dtype=I32)
     key_sorted, order = jax.lax.sort_key_val(key, order)
-
     # run starts for every (tile, group) key + wide + dead + end sentinel
     qkeys = jnp.arange(n_tiles * N_GRP + 2, dtype=I32)
     starts = jnp.searchsorted(key_sorted, qkeys, side="left").astype(I32)
     bounds = jnp.concatenate([starts, jnp.array([s_rows], I32)])
     return order, bounds
+
+
+def bin_sort(su: TriangleSetup, cfg: RasterConfig,
+             tile_row0: int = 0, tile_rows: int | None = None):
+    """Returns (order, bounds) for the tile-row window
+    [tile_row0, tile_row0 + tile_rows):
+
+    * order:  (S,) int32 — setup-row indices sorted by streaming key;
+    * bounds: (n_tiles * 4 + 3,) int32 — start position of every
+      (tile, group) run in ``order``, then the wide run start, the dead run
+      start, and S.  Run [bounds[k], bounds[k+1]) holds key k's rows.
+    """
+    key = stream_keys(
+        su.valid, su.x0, su.y0, su.x1, su.y1, su.x2, su.y2, cfg,
+        tile_row0, tile_rows,
+    )
+    return sort_and_bounds(key, cfg, tile_rows)
 
 
 def stream_ranges_host(bounds: np.ndarray, tile: int, gw: int, n_tiles: int):

@@ -201,6 +201,139 @@ def _clip_polygons(cverts, avals, gx, gy):
     return buf[..., :4], buf[..., 4:], count
 
 
+def clip_fan_path(cvb, ab, matb, sel_ok, cfg: RasterConfig, vbase):
+    """Shared Sutherland-Hodgman + fan-triangulation path over the budgeted
+    compaction of needs-clip triangles.
+
+    cvb: (B, 3, 4) clip positions; ab: (B, 3, A) attributes; matb: (B,)
+    material ids; sel_ok: (B,) live-slot mask; vbase: (B,) first extra
+    attribute-row id per polygon (classic path's vertex ids).
+
+    Returns (clipped fields dict with (B, MAX_CLIP_TRIS) entries,
+    fan_attrs [3 x (B, MAX_CLIP_TRIS, A) per-corner attributes, zeroed on
+    dead slots], poly_a (B, POLY_SLOTS, A) polygon attribute rows).
+    """
+    gx = 1.0 + 2.0 * cfg.guard_px / cfg.width
+    gy = 1.0 + 2.0 * cfg.guard_px / cfg.height
+    poly_v, poly_a, poly_n = _clip_polygons(cvb, ab, gx, gy)
+    # iw per polygon vertex (computed once per vertex, as in the oracle)
+    iw_poly_raw = sm.recip_spec(poly_v[..., 3], jnp)
+    iw_poly = jnp.where(jnp.isfinite(iw_poly_raw), iw_poly_raw, F32(0.0))
+
+    # fan triangles j = (0, j+1, j+2), j in [0, MAX_CLIP_TRIS)
+    j_idx = jnp.arange(MAX_CLIP_TRIS, dtype=I32)
+    fan = jnp.stack(
+        [jnp.zeros_like(j_idx), j_idx + 1, j_idx + 2], axis=-1
+    )  # (7,3)
+    fan_alive = (j_idx[None, :] + 2 < poly_n[:, None]) & sel_ok[:, None]
+    fanc = jnp.clip(fan, 0, POLY_SLOTS - 1)
+    fan_corners = []
+    fan_vids = []
+    fan_attrs = []
+    for k in range(3):
+        fvk = poly_v[:, fanc[:, k]]  # (B,7,4)
+        snap = _snap_corner(
+            fvk[..., 0], fvk[..., 1], fvk[..., 2], fvk[..., 3], cfg
+        )
+        # use the per-polygon-vertex iw (same bits; oracle computes it once
+        # per polygon vertex)
+        fan_corners.append(
+            (snap[0], snap[1], snap[2], iw_poly[:, fanc[:, k]])
+        )
+        fan_vids.append(vbase[:, None] + fanc[None, :, k])
+        fan_attrs.append(poly_a[:, fanc[:, k]])  # (B,7,A)
+    clipped = _finish_tri(
+        tuple(fan_corners), tuple(fan_vids),
+        jnp.broadcast_to(matb[:, None], fan_alive.shape), fan_alive,
+    )
+    fan_attrs = [
+        jnp.where(clipped["valid"][..., None], a, F32(0.0)) for a in fan_attrs
+    ]
+    return clipped, fan_attrs, poly_a
+
+
+_TAIL_FIELDS = (
+    "valid x0 y0 x1 y1 x2 y2 zq0 zq1 zq2 inv_area2 iw0 iw1 iw2 mat".split()
+)
+_TAIL_F32 = {"inv_area2", "iw0", "iw1", "iw2"}
+
+
+def _select_budgeted(flags, t_in: int, budget: int):
+    """First ``budget`` flagged row indices ascending, -1 fill — identical
+    to nonzero(size=budget, fill_value=-1) but via sort-select, which avoids
+    the scatter-add cumsum path (measured 8.2 vs 19.1 ms at 1.34M rows on
+    v5e)."""
+    all_idx = jnp.arange(t_in, dtype=I32)
+    sel = jax.lax.sort(jnp.where(flags, all_idx, I32(t_in)))
+    if t_in < budget:
+        sel = jnp.pad(sel, (0, budget - t_in), constant_values=I32(t_in))
+    sel = sel[:budget]
+    return jnp.where(sel < t_in, sel, I32(-1))
+
+
+def clip_tail_fused(tblT, tri_v, mat_id, needs_clip, cfg: RasterConfig,
+                    clip_budget: int):
+    """Clip path for the setup-kernel pipeline: budgeted compaction +
+    Sutherland-Hodgman fans, sourcing corner clip/attr rows from the
+    transposed (16, V) vertex table (ops/setup_kernel).
+
+    Returns (fields dict of (clip_budget * MAX_CLIP_TRIS,) tail setup rows,
+    (a_v0, a_v1, a_v2) per-corner attribute rows (N, 12) f32 in rewound
+    order, stats dict)."""
+    t_in = tri_v.shape[0]
+    nv_pad = tblT.shape[1]
+    n = clip_budget * MAX_CLIP_TRIS
+    n_clip = jnp.sum(needs_clip.astype(I32))
+
+    def live(_):
+        sel = _select_budgeted(needs_clip, t_in, clip_budget)
+        sel_ok = sel >= 0
+        sel_c = jnp.clip(sel, 0, t_in - 1)
+        vid = jnp.clip(tri_v, 0, nv_pad - 1)
+        vidf = vid[sel_c].reshape(-1)  # (3B,)
+        cols = tblT[:, vidf]  # (16, 3B) i32 — small transposed gather
+        rows = sm._bitcast_f32(
+            cols.T.reshape(clip_budget, 3, tblT.shape[0]), jnp
+        )
+        cvb = rows[..., 0:4]
+        ab = rows[..., 4:16]
+        matb = mat_id[sel_c]
+        clipped, fan_attrs, _ = clip_fan_path(
+            cvb, ab, matb, sel_ok, cfg, vbase=jnp.zeros_like(sel),
+        )
+        fields = tuple(
+            clipped[k].reshape(n) for k in _TAIL_FIELDS
+        )
+        a_v0 = fan_attrs[0].reshape(n, ATTR_COLS)
+        a_v1 = fan_attrs[2].reshape(n, ATTR_COLS)
+        a_v2 = fan_attrs[1].reshape(n, ATTR_COLS)
+        return fields + (a_v0, a_v1, a_v2)
+
+    def dead(_):
+        # exactly what the live path produces when nothing is flagged: all
+        # slots dead, every field zeroed (matching _finish_tri's masking)
+        fields = tuple(
+            jnp.zeros(
+                n, dtype=bool if k == "valid" else (F32 if k in _TAIL_F32 else I32)
+            )
+            for k in _TAIL_FIELDS
+        )
+        z = jnp.zeros((n, ATTR_COLS), F32)
+        return fields + (z, z, z)
+
+    # frames with no clip-flagged triangles (the common case on closed
+    # scenes) skip the whole Sutherland-Hodgman path — measured ~13 ms at
+    # clip_budget=4096 on v5e, spent even when every slot is dead
+    out = jax.lax.cond(n_clip > 0, live, dead, None)
+    fields = dict(zip(_TAIL_FIELDS, out[: len(_TAIL_FIELDS)]))
+    a_v0, a_v1, a_v2 = out[len(_TAIL_FIELDS) :]
+    stats = {
+        "clip_overflow": n_clip - jnp.minimum(n_clip, clip_budget),
+        "n_clipped": n_clip,
+    }
+    return fields, (a_v0, a_v1, a_v2), stats
+
+
 def _vertex_post(clip, cfg: RasterConfig):
     """Per-vertex snap + frustum outcode, packed (V, 8) i32.
 
@@ -247,8 +380,6 @@ def geometry_device(
     """
     t_in = tri_v.shape[0]
     nv_pad = clip.shape[0]
-    gx = 1.0 + 2.0 * cfg.guard_px / cfg.width
-    gy = 1.0 + 2.0 * cfg.guard_px / cfg.height
 
     vid_ok = tri_v[:, 0] >= 0
     vid = jnp.clip(tri_v, 0, nv_pad - 1)
@@ -286,48 +417,21 @@ def geometry_device(
     )
 
     # ---- clip path: budgeted compaction of flagged triangles
-    ranks = jnp.cumsum(needs_clip.astype(I32)) - needs_clip.astype(I32)
     clip_overflow = jnp.sum(needs_clip.astype(I32)) - jnp.minimum(
         jnp.sum(needs_clip.astype(I32)), clip_budget
     )
-    sel = jnp.nonzero(needs_clip, size=clip_budget, fill_value=-1)[0]
+    sel = _select_budgeted(needs_clip, t_in, clip_budget)
     sel_ok = sel >= 0
     sel_c = jnp.clip(sel, 0, t_in - 1)
     cvb = clip[vid[sel_c]]  # (B,3,4) — small multi-dim gather, B=clip_budget
     ab = attrs[vid[sel_c]]  # (B,3,A)
     matb = mat_id[sel_c]
 
-    poly_v, poly_a, poly_n = _clip_polygons(cvb, ab, gx, gy)
-    # per-polygon vertex slot ids in the extra attribute region
-    vbase = nv_pad + MAX_CLIP_VERTS * jnp.arange(clip_budget, dtype=I32)
-    # iw per polygon vertex (computed once per vertex, as in the oracle)
-    iw_poly_raw = sm.recip_spec(poly_v[..., 3], jnp)
-    iw_poly = jnp.where(jnp.isfinite(iw_poly_raw), iw_poly_raw, F32(0.0))
-
-    # fan triangles j = (0, j+1, j+2), j in [0, MAX_CLIP_TRIS)
-    j_idx = jnp.arange(MAX_CLIP_TRIS, dtype=I32)
-    fan = jnp.stack(
-        [jnp.zeros_like(j_idx), j_idx + 1, j_idx + 2], axis=-1
-    )  # (7,3)
-    fan_alive = (j_idx[None, :] + 2 < poly_n[:, None]) & sel_ok[:, None]
-    fanc = jnp.clip(fan, 0, POLY_SLOTS - 1)
-    fan_corners = []
-    fan_vids = []
-    for k in range(3):
-        fvk = poly_v[:, fanc[:, k]]  # (B,7,4)
-        snap = _snap_corner(
-            fvk[..., 0], fvk[..., 1], fvk[..., 2], fvk[..., 3], cfg
-        )
-        # use the per-polygon-vertex iw (same bits; oracle computes it once
-        # per polygon vertex)
-        fan_corners.append(
-            (snap[0], snap[1], snap[2], iw_poly[:, fanc[:, k]])
-        )
-        fan_vids.append(vbase[:, None] + fanc[None, :, k])
-    clipped = _finish_tri(
-        tuple(fan_corners), tuple(fan_vids),
-        jnp.broadcast_to(matb[:, None], fan_alive.shape), fan_alive,
+    clipped, fan_attrs, poly_a = clip_fan_path(
+        cvb, ab, matb, sel_ok, cfg,
+        vbase=nv_pad + MAX_CLIP_VERTS * jnp.arange(clip_budget, dtype=I32),
     )
+    del fan_attrs  # classic path shades via attrs_full + fan vids
 
     # ---- assemble the static setup buffer
     def cat(k):

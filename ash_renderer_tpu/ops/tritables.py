@@ -85,25 +85,38 @@ def build_comb_table(su: TriangleSetup, attrs, cfg: RasterConfig,
         a_v0 = attrs[su.v0]  # (S, 12)
         a_v1 = attrs[su.v1]
         a_v2 = attrs[su.v2]
+    return comb_rows(su, a_v0, a_v1, a_v2, cfg)
+
+
+def comb_rows(f, a_v0, a_v1, a_v2, cfg: RasterConfig, id_base: int = 0):
+    """Pack setup fields + per-corner attribute rows into (N, 128) comb
+    rows (layout in the module docstring).  ``f`` needs attributes
+    x0..y2, zq0..zq2, inv_area2, iw0..iw2, mat (TriangleSetup or any
+    field-dict-like); ids are ``id_base + row``."""
+    if isinstance(f, dict):
+        import types
+
+        f = types.SimpleNamespace(**f)
+    off = I32(-cfg.min_coord)
     cols = [
-        _pack16(su.x0 + off, su.y0 + off),
-        _pack16(su.x1 + off, su.y1 + off),
-        _pack16(su.x2 + off, su.y2 + off),
-        _pack16(su.zq0, su.zq1),
-        su.zq2,
-        sm._bitcast_i32(su.inv_area2, jnp),
-        sm._bitcast_i32(su.iw0, jnp),
-        sm._bitcast_i32(su.iw1, jnp),
-        sm._bitcast_i32(su.iw2, jnp),
-        su.mat,
+        _pack16(f.x0 + off, f.y0 + off),
+        _pack16(f.x1 + off, f.y1 + off),
+        _pack16(f.x2 + off, f.y2 + off),
+        _pack16(f.zq0, f.zq1),
+        f.zq2,
+        sm._bitcast_i32(f.inv_area2, jnp),
+        sm._bitcast_i32(f.iw0, jnp),
+        sm._bitcast_i32(f.iw1, jnp),
+        sm._bitcast_i32(f.iw2, jnp),
+        f.mat,
     ]
-    head = jnp.stack(cols, axis=1)  # (S, 10)
+    head = jnp.stack(cols, axis=1)  # (N, 10)
     s = head.shape[0]
     # the id column is the row index, so gathering row order[i] puts
     # order[i] itself at ID_COL — the sorted table needs no post-gather
     # fix-up (measured: a full-width (S, 128) row gather runs ~4.5x faster
     # than a 46-wide one AND skips a ~12 ms lane-offset concat)
-    ids = jnp.arange(s, dtype=I32)[:, None]
+    ids = id_base + jnp.arange(s, dtype=I32)[:, None]
     zpad = jnp.zeros((s, TBL_COLS - COMB_FIELDS - 1), I32)
     return jnp.concatenate(
         [
@@ -115,7 +128,7 @@ def build_comb_table(su: TriangleSetup, attrs, cfg: RasterConfig,
             zpad,
         ],
         axis=1,
-    )  # (S, 128)
+    )  # (N, 128)
 
 
 def sorted_table(comb, order, pad_rows: int):

@@ -27,6 +27,7 @@ from .ops import (
     fused_kernel,
     geometry,
     raster_pallas,
+    setup_kernel,
     shade,
     tritables,
 )
@@ -191,25 +192,76 @@ def render_frame_fused(
     light: Optional[LightPack],
     local_tri=None,
     tri_mat=None,
+    ltT=None,
+    matT=None,
 ):
     """Same signature and bit-identical results as render_frame, via the
-    fused kernel (ops/fused_kernel.py)."""
+    fused kernel (ops/fused_kernel.py).  With meshlet-local indices the
+    whole triangle-setup stage runs in the Pallas setup kernel
+    (ops/setup_kernel.py); without them, the XLA setup path feeds the same
+    downstream kernel."""
     cfg = statics.cfg
     st = statics.settings
 
-    clip, attrs = geometry.transform_vertices(
-        positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
-    )
-    su, attrs_full, gstats = geometry.geometry_device(
-        clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget,
-        local_tri=local_tri, interpret=statics.interpret, tri_mat=tri_mat,
-    )
-    order, bounds = binsort.bin_sort(su, cfg)
+    if local_tri is None:
+        # non-meshlet fallback: XLA triangle setup + comb assembly
+        clip, attrs = geometry.transform_vertices(
+            positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
+        )
+        su, attrs_full, gstats = geometry.geometry_device(
+            clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget,
+            interpret=statics.interpret, tri_mat=tri_mat,
+        )
+        order, bounds = binsort.bin_sort(su, cfg)
+        comb = tritables.build_comb_table(
+            su, attrs_full, cfg, interpret=statics.interpret,
+        )
+    else:
+        from .scene import MESHLET_TRIS
+
+        tblT = setup_kernel.transform_vertices_T(
+            positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
+        )
+        if tri_mat is None:
+            tri_mat = obj_material[
+                jnp.clip(tri_obj, 0, obj_material.shape[0] - 1)
+            ]
+        if ltT is None:  # static per scene; the Renderer precomputes these
+            m_ = tri_v.shape[0] // MESHLET_TRIS
+            ltT = (
+                jnp.where((tri_v[:, 0] >= 0)[:, None], local_tri, I32(-1))
+                .reshape(m_, MESHLET_TRIS, 3)
+                .transpose(0, 2, 1)
+                .reshape(m_, 3 * MESHLET_TRIS)
+            )
+        if matT is None:
+            matT = tri_mat.reshape(-1, MESHLET_TRIS)
+        comb_main, keys_main, flags = setup_kernel.triangle_setup(
+            tblT, ltT, matT, cfg, interpret=statics.interpret
+        )
+        needs_clip = ((flags >> 1) & 1).astype(bool)
+        tail_f, (ta0, ta1, ta2), cstats = geometry.clip_tail_fused(
+            tblT, tri_v, tri_mat, needs_clip, cfg, st.clip_budget
+        )
+        comb_tail = tritables.comb_rows(
+            tail_f, ta0, ta1, ta2, cfg, id_base=comb_main.shape[0]
+        )
+        keys_tail = binsort.stream_keys(
+            tail_f["valid"], tail_f["x0"], tail_f["y0"], tail_f["x1"],
+            tail_f["y1"], tail_f["x2"], tail_f["y2"], cfg,
+        )
+        comb = jnp.concatenate([comb_main, comb_tail], axis=0)
+        keys = jnp.concatenate([keys_main, keys_tail])
+        order, bounds = binsort.sort_and_bounds(keys, cfg)
+        n_valid = jnp.sum(flags & 1) + jnp.sum(tail_f["valid"].astype(I32))
+        gstats = {
+            "clip_overflow": cstats["clip_overflow"],
+            "n_fast": jnp.sum((flags >> 2) & 1),
+            "n_clipped": cstats["n_clipped"],
+            "n_valid": n_valid,
+            "n_setup": jnp.int32(comb.shape[0]),
+        }
     rmeta = fused_kernel.build_range_meta(bounds, cfg.n_tiles, cfg.grid_w)
-    comb = tritables.build_comb_table(
-        su, attrs_full, cfg, local_tri=local_tri,
-        interpret=statics.interpret,
-    )
     tbl_sorted = tritables.sorted_table(comb, order, 256)
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, cfg, interpret=statics.interpret
@@ -227,6 +279,103 @@ def render_frame_fused(
 render_frame_fused_jit = jax.jit(
     render_frame_fused, static_argnames=("statics",)
 )
+
+
+# ---------------------------------------------------------------------------
+# Staged fused pipeline: the same stages as render_frame_fused's meshlet
+# path, each under its own jit.  Identical results (stage boundaries are
+# materialized arrays either way); the single-graph fused jit at 1M-triangle
+# shapes never finished XLA compilation on hardware (>10 min vs ~1 min for
+# the stage jits together), so this is the Renderer's execution mode.
+# ---------------------------------------------------------------------------
+
+_fstage_transform = jax.jit(setup_kernel.transform_vertices_T)
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def _fstage_tail(statics, tblT, tri_v, tri_mat, flags):
+    cfg = statics.cfg
+    st = statics.settings
+    needs_clip = ((flags >> 1) & 1).astype(bool)
+    tail_f, (ta0, ta1, ta2), cstats = geometry.clip_tail_fused(
+        tblT, tri_v, tri_mat, needs_clip, cfg, st.clip_budget
+    )
+    comb_tail = tritables.comb_rows(
+        tail_f, ta0, ta1, ta2, cfg, id_base=tri_v.shape[0]
+    )
+    keys_tail = binsort.stream_keys(
+        tail_f["valid"], tail_f["x0"], tail_f["y0"], tail_f["x1"],
+        tail_f["y1"], tail_f["x2"], tail_f["y2"], cfg,
+    )
+    n_valid = jnp.sum(flags & 1) + jnp.sum(tail_f["valid"].astype(I32))
+    gstats = {
+        "clip_overflow": cstats["clip_overflow"],
+        "n_fast": jnp.sum((flags >> 2) & 1),
+        "n_clipped": cstats["n_clipped"],
+        "n_valid": n_valid,
+        "n_setup": jnp.int32(tri_v.shape[0] + comb_tail.shape[0]),
+    }
+    return comb_tail, keys_tail, gstats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fstage_sort(cfg, comb_main, comb_tail, keys_main, keys_tail):
+    comb = jnp.concatenate([comb_main, comb_tail], axis=0)
+    keys = jnp.concatenate([keys_main, keys_tail])
+    order, bounds = binsort.sort_and_bounds(keys, cfg)
+    rmeta = fused_kernel.build_range_meta(bounds, cfg.n_tiles, cfg.grid_w)
+    tbl_sorted = tritables.sorted_table(comb, order, 256)
+    return rmeta, tbl_sorted
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def _fstage_shade(statics, planes, vis_t, camera_pos, materials, atlas,
+                  light):
+    cfg = statics.cfg
+    fields = _planes_to_fields(planes, cfg, cfg.grid_h)[
+        :, : cfg.height, : cfg.width
+    ]
+    return _shade_from_planes(
+        statics, fields, vis_t, camera_pos, materials, atlas, light
+    )
+
+
+def render_frame_fused_staged(
+    statics: FrameStatics,
+    positions, vert_obj, normals, colors, uvs,
+    tri_v, tri_obj, obj_material,
+    model_mats, mvp_mats, camera_pos,
+    materials, atlas, light,
+    local_tri=None,
+    tri_mat=None,
+    ltT=None,
+    matT=None,
+):
+    """Same signature/results as render_frame_fused (meshlet path), via
+    per-stage jits.  Requires meshlet tables (ltT/matT/tri_mat precomputed —
+    the Renderer path)."""
+    assert ltT is not None and matT is not None and tri_mat is not None
+    cfg = statics.cfg
+    tblT = _fstage_transform(
+        positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
+    )
+    comb_main, keys_main, flags = setup_kernel.triangle_setup(
+        tblT, ltT, matT, cfg, interpret=statics.interpret
+    )
+    comb_tail, keys_tail, gstats = _fstage_tail(
+        statics, tblT, tri_v, tri_mat, flags
+    )
+    rmeta, tbl_sorted = _fstage_sort(
+        cfg, comb_main, comb_tail, keys_main, keys_tail
+    )
+    vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
+        rmeta, tbl_sorted, cfg, interpret=statics.interpret
+    )
+    rgba8 = _fstage_shade(
+        statics, planes, vis_t, camera_pos, materials, atlas, light
+    )
+    aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats}
+    return rgba8, aux
 
 
 # ---------------------------------------------------------------------------

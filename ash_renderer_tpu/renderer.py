@@ -37,6 +37,7 @@ from .oracle.raster_cpu import compose_mvp
 from .pipeline import (
     FrameStatics,
     render_frame_fused_jit,
+    render_frame_fused_staged,
     render_frame_jit,
     render_frame_staged,
 )
@@ -77,6 +78,13 @@ class Renderer:
 
     # ----- settings-dependent world -------------------------------------
     def _build_settings_dependent(self, scene: Scene, settings: RendererSettings):
+        if settings.pipeline == "auto":
+            settings = dataclasses.replace(
+                settings,
+                pipeline=(
+                    "fused" if self.device.platform == "tpu" else "classic"
+                ),
+            )
         self.scene = scene
         self.settings = settings
         # the fused pipeline wants meshlet-local indices so triangle-corner
@@ -106,6 +114,20 @@ class Renderer:
                 ]
             ),
         )
+        # static setup-kernel tables (transposed meshlet-local corner ids +
+        # per-meshlet material rows) — host-precomputed once per scene
+        self._buffers["ltT"] = self._buffers["matT"] = None
+        if packed.local_tri is not None:
+            from .ops import setup_kernel
+
+            tri_mat_h = packed.obj_material[
+                np.clip(packed.tri_obj, 0, len(packed.obj_material) - 1)
+            ]
+            ltT, matT = setup_kernel.prep_static(
+                packed.local_tri, tri_mat_h, packed.tri_v[:, 0] >= 0
+            )
+            self._buffers["ltT"] = put(ltT)
+            self._buffers["matT"] = put(matT)
         self.materials = MaterialsPack(
             base_color=put(
                 np.array([m.base_color for m in scene.materials], F32)
@@ -197,7 +219,13 @@ class Renderer:
         proj = camera.projection_matrix(st.render_width / st.render_height)
         mvp = compose_mvp(model_mats, view, proj)
         if st.pipeline == "fused":
-            frame_fn = render_frame_fused_jit
+            # per-stage jits: the monolithic fused graph exceeds practical
+            # XLA compile times at 1M-triangle shapes (pipeline.py)
+            frame_fn = (
+                render_frame_fused_staged
+                if self._buffers["local_tri"] is not None
+                else render_frame_fused_jit
+            )
         elif st.staged_pipeline:
             frame_fn = render_frame_staged
         else:
@@ -220,6 +248,11 @@ class Renderer:
             self.light,
             self._buffers["local_tri"],
             self._buffers["tri_mat"],
+            **(
+                {"ltT": self._buffers["ltT"], "matT": self._buffers["matT"]}
+                if st.pipeline == "fused"
+                else {}
+            ),
         )
         self.stats.record_dispatch(time.perf_counter() - t0)
         return rgba8, aux

@@ -131,7 +131,9 @@ def main():
     parity_ok = True
     if not args.skip_parity:
         try:
-            parity_ok = parity_gate(args.pipeline or "classic")
+            parity_ok = parity_gate(
+                args.pipeline or ("fused" if backend == "tpu" else "classic")
+            )
         except Exception as e:  # pragma: no cover
             log(f"parity gate error: {e!r}")
             parity_ok = False
@@ -147,12 +149,10 @@ def main():
 
         settings = dataclasses.replace(settings, pipeline=args.pipeline)
     n_tris = sum(m.num_triangles for m in scene.meshes)
-    log(
-        f"scene: {n_tris} triangles (built in {time.time()-t0:.1f}s), "
-        f"pipeline={settings.pipeline}"
-    )
+    log(f"scene: {n_tris} triangles (built in {time.time()-t0:.1f}s)")
 
     r = Renderer(scene, settings)
+    log(f"pipeline={r.settings.pipeline}")
     cam = cams[0]
 
     def force(x):
