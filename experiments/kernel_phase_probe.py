@@ -1,0 +1,81 @@
+"""Split the fused raster kernel's cost: phase V only vs D only vs both,
+plus segment statistics, at the config4 workload."""
+import dataclasses
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ash_tpu_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def force(x):
+    return [np.asarray(l.ravel()[:1]) for l in jax.tree.leaves(x)]
+
+
+def timeit(fn, *args, reps=8):
+    out = fn(*args)
+    force(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    force(out)
+    return (time.time() - t0) / reps, out
+
+
+def main():
+    from ash_renderer_tpu.benchmarks import config4_million_tri
+    from ash_renderer_tpu.oracle.raster_cpu import compose_mvp
+    from ash_renderer_tpu.ops import binsort, fused_kernel, setup_kernel, \
+        tritables, geometry
+    from ash_renderer_tpu.renderer import Renderer
+
+    scene, settings, cams = config4_million_tri()
+    settings = dataclasses.replace(settings, pipeline="fused")
+    cam = cams[0]
+    r = Renderer(scene, settings)
+    cfg = r.cfg
+    st = r.statics.settings
+    b = r._buffers
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(st.render_width / st.render_height)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+
+    from ash_renderer_tpu import pipeline as plmod
+
+    tblT = plmod._fstage_transform(
+        b["positions"], b["vert_obj"], b["normals"], b["colors"], b["uvs"],
+        jnp.asarray(mm), jnp.asarray(mvp),
+    )
+    comb_main, keys_main, flags = setup_kernel.triangle_setup(
+        tblT, b["ltT"], b["matT"], cfg
+    )
+    comb_tail, keys_tail, _ = plmod._fstage_tail(
+        r.statics, tblT, b["tri_v"], b["tri_mat"], flags
+    )
+    rmeta, tbl = plmod._fstage_sort(
+        cfg, comb_main, comb_tail, keys_main, keys_tail
+    )
+    force((rmeta, tbl))
+
+    # segment stats
+    rm = np.asarray(rmeta).reshape(-1, 2)
+    lens = rm[:, 1] - rm[:, 0]
+    segs = np.sum(np.where(lens > 0, ((rm[:,1] - (rm[:,0]//8)*8) + 127)//128, 0))
+    print(f"ranges: {(lens>0).sum()} nonempty / {len(lens)}, "
+          f"slots: {lens.sum()}, segments/phase: {segs}", flush=True)
+
+    for ph in ("vd", "v", "d"):
+        fn = jax.jit(lambda rm_, tb_, ph=ph: fused_kernel.rasterize_distribute(
+            rm_, tb_, cfg, phases=ph))
+        dt, _ = timeit(fn, rmeta, tbl)
+        print(f"phases={ph}: {dt*1000:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
