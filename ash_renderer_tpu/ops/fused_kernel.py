@@ -277,7 +277,7 @@ def _kernel(
         flat_s[0:1, TILE_W * r : TILE_W * (r + 1)] = acc_t[r]
     flatv = flat_s[:]  # (1, 1024) winner tri ids
 
-    zero_p = jnp.zeros((N_PIX, TILE_W), I32)
+    zero_p = jnp.zeros((TILE_W, N_PIX), I32)
     out_p0[...] = zero_p
     out_p1[...] = zero_p
     out_p2[...] = zero_p
@@ -321,8 +321,11 @@ def _kernel(
                     (out_p3, 3),
                 ):
                     bk = ((blk >> (8 * k)) & 255).astype(I8)  # (128, 128)
+                    # (cols, pixels): table columns in SUBLANES so the
+                    # planes output needs no 48->128 lane pad (the pixel-
+                    # minor layout padded 2.67x -> ~1 GB of HBM writes)
                     out_p[...] = out_p[...] + jax.lax.dot_general(
-                        oh_d, bk, dn, preferred_element_type=I32
+                        bk, oh_d, dn, preferred_element_type=I32
                     )
 
             return 0
@@ -334,8 +337,8 @@ def _kernel(
         | ((out_p1[...] & 255) << 8)
         | ((out_p2[...] & 255) << 16)
         | (out_p3[...] << 24)
-    )  # (1024, 128)
-    planes_ref[0] = o[:, 0:OUT_COLS]
+    )  # (128 cols, 1024 px)
+    planes_ref[0] = o[0:OUT_COLS, :]
 
 
 @functools.partial(
@@ -356,8 +359,9 @@ def rasterize_distribute(
                 (tritables.sorted_table).
 
     Returns (vis_d, vis_t, planes) — vis planes cropped to (height, width),
-    planes (n_tiles, 1024, 48) int32 per-pixel shading fields in table-col
-    order (uncropped tile-flat layout; the pipeline unpacks and crops).
+    planes (n_tiles, 48, 1024) int32 per-pixel shading fields in table-col
+    order, field-major per tile (no lane padding; the pipeline shades
+    tile-flat and relayouts only the final RGBA).
     """
     assert cfg.tile_h == TILE_H and cfg.tile_w == TILE_W
     assert tbl_sorted.shape[1] == TBL_COLS
@@ -370,7 +374,7 @@ def rasterize_distribute(
     out_shape = (
         jax.ShapeDtypeStruct((tile_rows * TILE_H, gw * TILE_W), I32),
         jax.ShapeDtypeStruct((tile_rows * TILE_H, gw * TILE_W), I32),
-        jax.ShapeDtypeStruct((n_tiles, N_PIX, OUT_COLS), I32),
+        jax.ShapeDtypeStruct((n_tiles, OUT_COLS, N_PIX), I32),
     )
     block = pl.BlockSpec(
         (TILE_H, TILE_W),
@@ -378,7 +382,7 @@ def rasterize_distribute(
         memory_space=pltpu.VMEM,
     )
     planes_block = pl.BlockSpec(
-        (1, N_PIX, OUT_COLS),
+        (1, OUT_COLS, N_PIX),
         lambda t, *_: (t, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -392,10 +396,10 @@ def rasterize_distribute(
             pltpu.VMEM((TILE_W, TBL_COLS), I32),
             pltpu.VMEM((TILE_W, 8), I32),
             pltpu.VMEM((1, N_PIX), I32),
-            pltpu.VMEM((N_PIX, TILE_W), I32),
-            pltpu.VMEM((N_PIX, TILE_W), I32),
-            pltpu.VMEM((N_PIX, TILE_W), I32),
-            pltpu.VMEM((N_PIX, TILE_W), I32),
+            pltpu.VMEM((TILE_W, N_PIX), I32),
+            pltpu.VMEM((TILE_W, N_PIX), I32),
+            pltpu.VMEM((TILE_W, N_PIX), I32),
+            pltpu.VMEM((TILE_W, N_PIX), I32),
             pltpu.SemaphoreType.DMA((N_RANGES,)),
         ],
     )

@@ -259,17 +259,23 @@ def _kernel(ltT_ref, matT_ref, tblT_ref, comb_ref, key_ref, flag_ref, fs,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "tail_rows")
+)
 def triangle_setup(tblT, ltT, matT, cfg: RasterConfig,
-                   interpret: bool = False):
+                   interpret: bool = False, tail_rows: int = 0):
     """Run the setup kernel over all meshlets.
 
     tblT: (16, V) i32 transposed vertex table (transform_vertices_T);
     ltT:  (M, 384) i32 transposed meshlet-local corner ids (prep_static);
     matT: (M, 128) i32 per-triangle material ids.
 
-    Returns (comb (T, 128) i32, keys (T,) i32, flags (T,) i32) where
-    T = M * 128; flags bit0 = valid, bit1 = needs_clip.
+    Returns (comb (T + tail_rows, 128) i32, keys (T,) i32, flags (T,) i32)
+    where T = M * 128; flags bit0 = valid, bit1 = needs_clip.  tail_rows
+    reserves uninitialized rows after the main block for the clip tail
+    (written in place by the pipeline via dynamic_update_slice on the
+    donated buffer — a separate concat would copy the whole ~700 MB table
+    at 1M-triangle scale).
     """
     m = ltT.shape[0]
     t = m * MESHLET_TRIS
@@ -280,7 +286,7 @@ def triangle_setup(tblT, ltT, matT, cfg: RasterConfig,
     lt3 = ltT.reshape(m, 3, MESHLET_TRIS)
     mat3 = matT.reshape(m, 1, MESHLET_TRIS)
     out_shape = (
-        jax.ShapeDtypeStruct((t, TBL_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((t + tail_rows, TBL_COLS), jnp.int32),
         jax.ShapeDtypeStruct((m, 1, MESHLET_TRIS), jnp.int32),
         jax.ShapeDtypeStruct((m, 1, MESHLET_TRIS), jnp.int32),
     )

@@ -206,17 +206,25 @@ def shade_gathered(
     cfg: RasterConfig = None,
     clear_color=(0.0, 0.0, 0.0, 1.0),
     py_offset: int = 0,
+    px=None,
+    py=None,
 ):
     """The per-pixel shading math given already-fetched winner data: the
     per-pixel setup dict ``g`` (x0..y2, inv_area2, iw0-2, mat) and the three
     corner attribute rows.  Shared by the gather path above (oracle and the
     classic device pipeline) and by the fused kernel path, whose Pallas
     distribute produces these planes on-chip — same inputs, same ops, so the
-    outputs are bit-identical by construction."""
+    outputs are bit-identical by construction.
+
+    px/py: explicit per-element pixel coordinates (any 2-D arrangement —
+    the fused path shades TILE-FLAT); default is the (H, W) raster order.
+    """
     h, w = valid.shape
-    px = _iota2(xp, h, w, 1)
-    # py_offset may be traced (per-device slab origin under shard_map)
-    py = _iota2(xp, h, w, 0) + py_offset
+    if px is None:
+        px = _iota2(xp, h, w, 1)
+    if py is None:
+        # py_offset may be traced (per-device slab origin under shard_map)
+        py = _iota2(xp, h, w, 0) + py_offset
     (e0, e1, e2), (a0, a1, a2) = _edges_at_pixels(g, px, py, cfg, xp)
     l0, l1, l2 = sm.bary_weights(e0, e1, e2, g["inv_area2"], xp)
     m0, m1, m2 = sm.persp_weights(l0, l1, l2, g["iw0"], g["iw1"], g["iw2"], xp)

@@ -120,36 +120,50 @@ render_frame_jit = jax.jit(render_frame, static_argnames=("statics",))
 # ---------------------------------------------------------------------------
 
 
-def _planes_to_fields(planes, cfg: RasterConfig, tile_rows: int):
-    """(n_tiles, 1024, 48) kernel planes -> (48, H, W) per-pixel fields."""
-    gw = cfg.grid_w
-    f = fused_kernel.OUT_COLS
-    th, tw = fused_kernel.TILE_H, fused_kernel.TILE_W
-    img = planes.reshape(tile_rows, gw, th, tw, f)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(f, tile_rows * th, gw * tw)
-    return img
-
-
-def _shade_from_planes(statics, fields, vis_t, camera_pos, materials, atlas,
-                       light, py_offset=0):
-    """Unpack the distributed field planes into shade_gathered's inputs."""
+def _shade_from_planes(statics, planes, vis_t, camera_pos, materials, atlas,
+                       light):
+    """Shade the distributed field planes TILE-FLAT: planes stay in the
+    kernel's (n_tiles, 48, 1024) field-major layout (no lane padding, no
+    400 MB field relayout); per-pixel screen coordinates are derived from
+    the tile index, and only the final RGBA is relaid out to (H, W)."""
     cfg = statics.cfg
     st = statics.settings
-    valid = vis_t >= 0
+    th, tw = fused_kernel.TILE_H, fused_kernel.TILE_W
+    gh, gw = cfg.grid_h, cfg.grid_w
+    n_tiles = gh * gw
+    hpad, wpad = gh * th, gw * tw
+    vis_p = jnp.pad(
+        vis_t,
+        ((0, hpad - vis_t.shape[0]), (0, wpad - vis_t.shape[1])),
+        constant_values=I32(-1),
+    )
+    vis_tf = (
+        vis_p.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
+        .reshape(n_tiles, th * tw)
+    )
+    valid = vis_tf >= 0
+
+    def f(i):
+        return planes[:, i, :]
+
     g = {}
     # field indices = tritables table-column layout (cols 3-4 are the
     # visibility-only zq fields; col 46 is the id debug plane)
-    g["x0"], g["y0"] = tritables.unpack_coord_planes(fields[0], cfg)
-    g["x1"], g["y1"] = tritables.unpack_coord_planes(fields[1], cfg)
-    g["x2"], g["y2"] = tritables.unpack_coord_planes(fields[2], cfg)
-    g["inv_area2"] = sm_bitcast(fields[5])
-    g["iw0"] = sm_bitcast(fields[6])
-    g["iw1"] = sm_bitcast(fields[7])
-    g["iw2"] = sm_bitcast(fields[8])
-    g["mat"] = fields[9]
-    a_v0 = sm_bitcast(jnp.stack([fields[10 + i] for i in range(12)], axis=-1))
-    a_v1 = sm_bitcast(jnp.stack([fields[22 + i] for i in range(12)], axis=-1))
-    a_v2 = sm_bitcast(jnp.stack([fields[34 + i] for i in range(12)], axis=-1))
+    g["x0"], g["y0"] = tritables.unpack_coord_planes(f(0), cfg)
+    g["x1"], g["y1"] = tritables.unpack_coord_planes(f(1), cfg)
+    g["x2"], g["y2"] = tritables.unpack_coord_planes(f(2), cfg)
+    g["inv_area2"] = sm_bitcast(f(5))
+    g["iw0"] = sm_bitcast(f(6))
+    g["iw1"] = sm_bitcast(f(7))
+    g["iw2"] = sm_bitcast(f(8))
+    g["mat"] = f(9)
+    a_v0 = sm_bitcast(jnp.stack([f(10 + i) for i in range(12)], axis=-1))
+    a_v1 = sm_bitcast(jnp.stack([f(22 + i) for i in range(12)], axis=-1))
+    a_v2 = sm_bitcast(jnp.stack([f(34 + i) for i in range(12)], axis=-1))
+    ti = jax.lax.broadcasted_iota(I32, (n_tiles, th * tw), 0)
+    si = jax.lax.broadcasted_iota(I32, (n_tiles, th * tw), 1)
+    px = (ti % gw) * tw + (si % tw)
+    py = (ti // gw) * th + (si // tw)
     rgba = shade.shade_gathered(
         jnp,
         valid,
@@ -163,9 +177,23 @@ def _shade_from_planes(statics, fields, vis_t, camera_pos, materials, atlas,
         camera_pos=camera_pos,
         cfg=cfg,
         clear_color=st.clear_color,
-        py_offset=py_offset,
+        px=px,
+        py=py,
     )
-    return shade.resolve_and_pack(jnp, rgba, st.supersample, st.srgb_output)
+
+    def to_image(x):
+        img = (
+            x.reshape(gh, gw, th, tw, 4).transpose(0, 2, 1, 3, 4)
+            .reshape(hpad, wpad, 4)
+        )
+        return img[: cfg.height, : cfg.width]
+
+    if st.supersample == 1:
+        # pack first (4 u8/px), relayout the small image
+        return to_image(shade.resolve_and_pack(jnp, rgba, 1, st.srgb_output))
+    return shade.resolve_and_pack(
+        jnp, to_image(rgba), st.supersample, st.srgb_output
+    )
 
 
 def sm_bitcast(x):
@@ -236,41 +264,23 @@ def render_frame_fused(
             )
         if matT is None:
             matT = tri_mat.reshape(-1, MESHLET_TRIS)
-        comb_main, keys_main, flags = setup_kernel.triangle_setup(
-            tblT, ltT, matT, cfg, interpret=statics.interpret
+        ntail = st.clip_budget * geometry.MAX_CLIP_TRIS
+        comb, keys_main, flags = setup_kernel.triangle_setup(
+            tblT, ltT, matT, cfg, interpret=statics.interpret,
+            tail_rows=ntail,
         )
-        needs_clip = ((flags >> 1) & 1).astype(bool)
-        tail_f, (ta0, ta1, ta2), cstats = geometry.clip_tail_fused(
-            tblT, tri_v, tri_mat, needs_clip, cfg, st.clip_budget
+        comb, keys_tail, gstats = _clip_tail_into(
+            statics, tblT, tri_v, tri_mat, flags, comb
         )
-        comb_tail = tritables.comb_rows(
-            tail_f, ta0, ta1, ta2, cfg, id_base=comb_main.shape[0]
-        )
-        keys_tail = binsort.stream_keys(
-            tail_f["valid"], tail_f["x0"], tail_f["y0"], tail_f["x1"],
-            tail_f["y1"], tail_f["x2"], tail_f["y2"], cfg,
-        )
-        comb = jnp.concatenate([comb_main, comb_tail], axis=0)
         keys = jnp.concatenate([keys_main, keys_tail])
         order, bounds = binsort.sort_and_bounds(keys, cfg)
-        n_valid = jnp.sum(flags & 1) + jnp.sum(tail_f["valid"].astype(I32))
-        gstats = {
-            "clip_overflow": cstats["clip_overflow"],
-            "n_fast": jnp.sum((flags >> 2) & 1),
-            "n_clipped": cstats["n_clipped"],
-            "n_valid": n_valid,
-            "n_setup": jnp.int32(comb.shape[0]),
-        }
     rmeta = fused_kernel.build_range_meta(bounds, cfg.n_tiles, cfg.grid_w)
     tbl_sorted = tritables.sorted_table(comb, order, 256)
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, cfg, interpret=statics.interpret
     )
-    fields = _planes_to_fields(planes, cfg, cfg.grid_h)[
-        :, : cfg.height, : cfg.width
-    ]
     rgba8 = _shade_from_planes(
-        statics, fields, vis_t, camera_pos, materials, atlas, light
+        statics, planes, vis_t, camera_pos, materials, atlas, light
     )
     aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats}
     return rgba8, aux
@@ -292,8 +302,9 @@ render_frame_fused_jit = jax.jit(
 _fstage_transform = jax.jit(setup_kernel.transform_vertices_T)
 
 
-@functools.partial(jax.jit, static_argnames=("statics",))
-def _fstage_tail(statics, tblT, tri_v, tri_mat, flags):
+def _clip_tail_into(statics, tblT, tri_v, tri_mat, flags, comb):
+    """Clip tail + stats; tail comb rows written IN PLACE into the
+    reserved region after the main block (comb row T onward)."""
     cfg = statics.cfg
     st = statics.settings
     needs_clip = ((flags >> 1) & 1).astype(bool)
@@ -302,6 +313,9 @@ def _fstage_tail(statics, tblT, tri_v, tri_mat, flags):
     )
     comb_tail = tritables.comb_rows(
         tail_f, ta0, ta1, ta2, cfg, id_base=tri_v.shape[0]
+    )
+    comb = jax.lax.dynamic_update_slice(
+        comb, comb_tail, (tri_v.shape[0], 0)
     )
     keys_tail = binsort.stream_keys(
         tail_f["valid"], tail_f["x0"], tail_f["y0"], tail_f["x1"],
@@ -313,14 +327,22 @@ def _fstage_tail(statics, tblT, tri_v, tri_mat, flags):
         "n_fast": jnp.sum((flags >> 2) & 1),
         "n_clipped": cstats["n_clipped"],
         "n_valid": n_valid,
-        "n_setup": jnp.int32(tri_v.shape[0] + comb_tail.shape[0]),
+        "n_setup": jnp.int32(comb.shape[0]),
     }
-    return comb_tail, keys_tail, gstats
+    return comb, keys_tail, gstats
+
+
+# comb is donated so the tail dynamic_update_slice happens in place — a
+# concat (or non-donated dus) copies the whole ~700 MB table at 1M tris
+_fstage_tail = jax.jit(
+    _clip_tail_into,
+    static_argnames=("statics",),
+    donate_argnames=("comb",),
+)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _fstage_sort(cfg, comb_main, comb_tail, keys_main, keys_tail):
-    comb = jnp.concatenate([comb_main, comb_tail], axis=0)
+def _fstage_sort(cfg, comb, keys_main, keys_tail):
     keys = jnp.concatenate([keys_main, keys_tail])
     order, bounds = binsort.sort_and_bounds(keys, cfg)
     rmeta = fused_kernel.build_range_meta(bounds, cfg.n_tiles, cfg.grid_w)
@@ -331,12 +353,8 @@ def _fstage_sort(cfg, comb_main, comb_tail, keys_main, keys_tail):
 @functools.partial(jax.jit, static_argnames=("statics",))
 def _fstage_shade(statics, planes, vis_t, camera_pos, materials, atlas,
                   light):
-    cfg = statics.cfg
-    fields = _planes_to_fields(planes, cfg, cfg.grid_h)[
-        :, : cfg.height, : cfg.width
-    ]
     return _shade_from_planes(
-        statics, fields, vis_t, camera_pos, materials, atlas, light
+        statics, planes, vis_t, camera_pos, materials, atlas, light
     )
 
 
@@ -356,18 +374,18 @@ def render_frame_fused_staged(
     the Renderer path)."""
     assert ltT is not None and matT is not None and tri_mat is not None
     cfg = statics.cfg
+    st = statics.settings
     tblT = _fstage_transform(
         positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
     )
-    comb_main, keys_main, flags = setup_kernel.triangle_setup(
-        tblT, ltT, matT, cfg, interpret=statics.interpret
+    comb, keys_main, flags = setup_kernel.triangle_setup(
+        tblT, ltT, matT, cfg, interpret=statics.interpret,
+        tail_rows=st.clip_budget * geometry.MAX_CLIP_TRIS,
     )
-    comb_tail, keys_tail, gstats = _fstage_tail(
-        statics, tblT, tri_v, tri_mat, flags
+    comb, keys_tail, gstats = _fstage_tail(
+        statics, tblT, tri_v, tri_mat, flags, comb
     )
-    rmeta, tbl_sorted = _fstage_sort(
-        cfg, comb_main, comb_tail, keys_main, keys_tail
-    )
+    rmeta, tbl_sorted = _fstage_sort(cfg, comb, keys_main, keys_tail)
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, cfg, interpret=statics.interpret
     )

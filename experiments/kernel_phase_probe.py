@@ -52,15 +52,14 @@ def main():
         b["positions"], b["vert_obj"], b["normals"], b["colors"], b["uvs"],
         jnp.asarray(mm), jnp.asarray(mvp),
     )
-    comb_main, keys_main, flags = setup_kernel.triangle_setup(
-        tblT, b["ltT"], b["matT"], cfg
+    comb, keys_main, flags = setup_kernel.triangle_setup(
+        tblT, b["ltT"], b["matT"], cfg,
+        tail_rows=st.clip_budget * 7,
     )
-    comb_tail, keys_tail, _ = plmod._fstage_tail(
-        r.statics, tblT, b["tri_v"], b["tri_mat"], flags
+    comb, keys_tail, _ = plmod._fstage_tail(
+        r.statics, tblT, b["tri_v"], b["tri_mat"], flags, comb
     )
-    rmeta, tbl = plmod._fstage_sort(
-        cfg, comb_main, comb_tail, keys_main, keys_tail
-    )
+    rmeta, tbl = plmod._fstage_sort(cfg, comb, keys_main, keys_tail)
     force((rmeta, tbl))
 
     # segment stats
