@@ -65,6 +65,7 @@ I8 = np.int8
 
 N_RANGES = 5
 RMETA_COLS = 2  # rs, re per (tile, range)
+GRP_T = 32  # triangles per visibility evaluation group (sublane dim)
 TILE_H = 8
 TILE_W = 128
 N_PIX = TILE_H * TILE_W
@@ -181,8 +182,10 @@ def _kernel(
         return ((p & 0xFFFF) + min_c), (((p >> 16) & 0xFFFF) + min_c)
 
     def eval_group(blk, ids_g, acc):
-        """8 triangles (sublanes) x 128 columns x 8 swept rows.
-        blk: (8, 6) records; ids_g: (8, 1) triangle ids."""
+        """GRP_T triangles (sublanes) x 128 columns x 8 swept rows —
+        wider groups amortize the per-row winner reduction/merge (the
+        cross-triangle machinery runs once per group-row regardless).
+        blk: (GRP_T, 6) records; ids_g: (GRP_T, 1) triangle ids."""
         acc_d, acc_t = acc
         x0, y0 = unpack16(blk[:, 0:1])
         x1, y1 = unpack16(blk[:, 1:2])
@@ -251,13 +254,13 @@ def _kernel(
             def _():
                 start_seg(i, pl.multiple_of(ab + TILE_W, 8))
 
-            g0 = jnp.maximum(rs - ab, 0) // 8
-            ng = -(-jnp.minimum(re - ab, TILE_W) // 8)
+            g0 = jnp.maximum(rs - ab, 0) // GRP_T
+            ng = -(-jnp.minimum(re - ab, TILE_W) // GRP_T)
 
             def grp_body(g, acc):
-                off = pl.multiple_of(8 * g, 8)
-                blk_g = recs_s[pl.ds(off, 8), 0:6]
-                ids_g = recs_s[pl.ds(off, 8), 6:7]
+                off = pl.multiple_of(GRP_T * g, GRP_T)
+                blk_g = recs_s[pl.ds(off, GRP_T), 0:6]
+                ids_g = recs_s[pl.ds(off, GRP_T), 6:7]
                 acc_d, acc_t = eval_group(
                     blk_g, ids_g, (list(acc[:TILE_H]), list(acc[TILE_H:]))
                 )

@@ -72,6 +72,8 @@ def main():
     print(f"total device us (2 frames): {total:.0f}")
 
     # Attribute op names to source lines via the compiled HLO text.
+    # (Skipped for the staged fused pipeline: its modules are the stage
+    # jits, and compiling the monolithic graph for names takes >10 min.)
     attrib = {}
     try:
         import re
@@ -79,6 +81,8 @@ def main():
         from ash_renderer_tpu import pipeline as plmod
         from ash_renderer_tpu.oracle.raster_cpu import compose_mvp
 
+        if r.settings.pipeline == "fused":
+            raise RuntimeError("staged fused: per-module attribution n/a")
         st = r.settings
         mm = r.scene.model_matrices()
         view = cam.view_matrix()
