@@ -101,6 +101,46 @@ def stream_keys(valid, x0, y0, x1, y1, x2, y2, cfg: RasterConfig,
     )
 
 
+def stream_keys_from_aabb(valid, extx, exty, cfg: RasterConfig,
+                          tile_row0: int = 0, tile_rows: int | None = None):
+    """Streaming keys from the setup kernel's packed pixel-AABB extents
+    (ops/setup_kernel: min | max << 16, max sign-extended, full-frame
+    clamped).  Window-reclamping max(py_lo, .) / min(py_hi, .) reproduces
+    stream_keys' window arithmetic exactly, so slab keys equal what a
+    windowed bin over the same rows would produce."""
+    if tile_rows is None:
+        tile_rows = cfg.grid_h
+    gw = cfg.grid_w
+    n_tiles = tile_rows * gw
+    py_lo = tile_row0 * cfg.tile_h
+    py_hi = jnp.minimum((tile_row0 + tile_rows) * cfg.tile_h, cfg.height) - 1
+
+    pxmin = (extx << 16) >> 16
+    pxmax = extx >> 16
+    pymin = jnp.maximum((exty << 16) >> 16, py_lo)
+    pymax = jnp.minimum(exty >> 16, py_hi)
+
+    live = valid & (pxmax >= pxmin) & (pymax >= pymin)
+    tx0 = pxmin // cfg.tile_w
+    tx1 = pxmax // cfg.tile_w
+    ty0 = pymin // cfg.tile_h - tile_row0
+    ty1 = pymax // cfg.tile_h - tile_row0
+
+    spill_r = tx1 > tx0
+    spill_d = ty1 > ty0
+    wide = (tx1 - tx0 > 1) | (ty1 - ty0 > 1)
+    grp = jnp.where(
+        spill_r & spill_d, GRP_DR,
+        jnp.where(spill_r, GRP_R, jnp.where(spill_d, GRP_D, GRP_NONE)),
+    ).astype(I32)
+    tile = (ty0 * gw + tx0).astype(I32)
+    return jnp.where(
+        live,
+        jnp.where(wide, I32(n_tiles * N_GRP), tile * N_GRP + grp),
+        I32(n_tiles * N_GRP + 1),
+    )
+
+
 def sort_and_bounds(key, cfg: RasterConfig, tile_rows: int | None = None):
     """Sort rows by streaming key; returns (order, bounds) as bin_sort."""
     s_rows = key.shape[0]

@@ -72,8 +72,10 @@ N_PIX = TILE_H * TILE_W
 OUT_COLS = 48  # distributed per-pixel fields (table cols 0-47)
 
 
-def build_range_meta(bounds, n_tiles: int, gw: int):
-    """(n_tiles * 5 * 2,) int32: [rs, re] per (tile, range).
+def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0):
+    """(n_tiles * 5 * 2 + 1,) int32: [rs, re] per (tile, range), then the
+    window's first tile row (0 full-frame; the slab origin under
+    shard_map — the kernel offsets its sample rows by it).
 
     Ranges per tile (processing order): own full run, ABOVE prefix
     {dr, r, d}, LEFT prefix {dr, r}, DIAGONAL prefix {dr}, wide run —
@@ -107,7 +109,10 @@ def build_range_meta(bounds, n_tiles: int, gw: int):
     )
     rs = meta[..., 0]
     re = jnp.maximum(meta[..., 1], rs)
-    return jnp.stack([rs, re], axis=-1).reshape(-1)
+    flat = jnp.stack([rs, re], axis=-1).reshape(-1)
+    return jnp.concatenate(
+        [flat, jnp.asarray(tile_row0, I32).reshape(1)]
+    )
 
 
 def _kernel(
@@ -128,16 +133,19 @@ def _kernel(
     *,
     cfg: RasterConfig,
     gw: int,
+    n_tiles: int,
     phases: str = "vd",
 ):
     t = pl.program_id(0)
     tile_x = t % gw
     tile_y = t // gw
+    # window origin (slab tile row under shard_map; 0 full-frame)
+    row0 = rmeta_ref[n_tiles * N_RANGES * RMETA_COLS]
     ss = cfg.subpixel_scale
     half = ss // 2
     min_c = I32(cfg.min_coord)
     sx0 = (tile_x * TILE_W) * ss + half  # tile-corner pixel sample coords
-    sy0 = (tile_y * TILE_H) * ss + half
+    sy0 = ((row0 + tile_y) * TILE_H) * ss + half
 
     colp = jax.lax.broadcasted_iota(I32, (1, TILE_W), 1)
     subl = jax.lax.broadcasted_iota(I32, (TILE_W, 1), 0)
@@ -407,7 +415,9 @@ def rasterize_distribute(
         ],
     )
     vis_d, vis_t, planes = pl.pallas_call(
-        functools.partial(_kernel, cfg=cfg, gw=gw, phases=phases),
+        functools.partial(
+            _kernel, cfg=cfg, gw=gw, n_tiles=n_tiles, phases=phases
+        ),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,

@@ -105,8 +105,8 @@ def transform_vertices_T(positions, vert_obj, normals, colors, uvs,
     return sm._bitcast_i32(jnp.stack(rows, axis=0), jnp)  # (16, V)
 
 
-def _kernel(ltT_ref, matT_ref, tblT_ref, comb_ref, key_ref, flag_ref, fs,
-            *, cfg: RasterConfig):
+def _kernel(ltT_ref, matT_ref, tblT_ref, comb_ref, key_ref, flag_ref,
+            extx_ref, exty_ref, fs, *, cfg: RasterConfig):
     m = pl.program_id(0)
     ss = cfg.subpixel_scale
     gx = F32(1.0 + 2.0 * cfg.guard_px / cfg.width)
@@ -257,6 +257,10 @@ def _kernel(ltT_ref, matT_ref, tblT_ref, comb_ref, key_ref, flag_ref, fs,
         | (needs_clip.astype(I32) << 1)
         | (fast.astype(I32) << 2)
     )
+    # pixel-AABB extents for window-local (multi-chip slab) key derivation:
+    # 16-bit packed, pxmax/pymax may be -1 (sign-extend on unpack)
+    extx_ref[0] = (pxmin & 0xFFFF) | (pxmax << 16)
+    exty_ref[0] = (pymin & 0xFFFF) | (pymax << 16)
 
 
 @functools.partial(
@@ -270,12 +274,15 @@ def triangle_setup(tblT, ltT, matT, cfg: RasterConfig,
     ltT:  (M, 384) i32 transposed meshlet-local corner ids (prep_static);
     matT: (M, 128) i32 per-triangle material ids.
 
-    Returns (comb (T + tail_rows, 128) i32, keys (T,) i32, flags (T,) i32)
-    where T = M * 128; flags bit0 = valid, bit1 = needs_clip.  tail_rows
-    reserves uninitialized rows after the main block for the clip tail
-    (written in place by the pipeline via dynamic_update_slice on the
-    donated buffer — a separate concat would copy the whole ~700 MB table
-    at 1M-triangle scale).
+    Returns (comb (T + tail_rows, 128) i32, keys (T,) i32, flags (T,) i32,
+    extx (T,) i32, exty (T,) i32) where T = M * 128; flags bit0 = valid,
+    bit1 = needs_clip, bit2 = fast; extx/exty are 16-bit-packed pixel-AABB
+    extents (min | max << 16, max sign-extends) for window-local key
+    derivation (multi-chip slabs, ops/binsort.stream_keys_from_aabb).
+    tail_rows reserves uninitialized rows after the main block for the
+    clip tail (written in place by the pipeline via dynamic_update_slice
+    on the donated buffer — a separate concat would copy the whole
+    ~700 MB table at 1M-triangle scale).
     """
     m = ltT.shape[0]
     t = m * MESHLET_TRIS
@@ -285,15 +292,18 @@ def triangle_setup(tblT, ltT, matT, cfg: RasterConfig,
     # equal the array dims — so per-meshlet rows ride a unit middle axis.
     lt3 = ltT.reshape(m, 3, MESHLET_TRIS)
     mat3 = matT.reshape(m, 1, MESHLET_TRIS)
+    row_shape = jax.ShapeDtypeStruct((m, 1, MESHLET_TRIS), jnp.int32)
     out_shape = (
         jax.ShapeDtypeStruct((t + tail_rows, TBL_COLS), jnp.int32),
-        jax.ShapeDtypeStruct((m, 1, MESHLET_TRIS), jnp.int32),
-        jax.ShapeDtypeStruct((m, 1, MESHLET_TRIS), jnp.int32),
+        row_shape,
+        row_shape,
+        row_shape,
+        row_shape,
     )
     row_block = pl.BlockSpec(
         (1, 1, MESHLET_TRIS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    comb, keys, flags = pl.pallas_call(
+    comb, keys, flags, extx, exty = pl.pallas_call(
         functools.partial(_kernel, cfg=cfg),
         out_shape=out_shape,
         grid=(m,),
@@ -309,8 +319,13 @@ def triangle_setup(tblT, ltT, matT, cfg: RasterConfig,
                          memory_space=pltpu.VMEM),
             row_block,
             row_block,
+            row_block,
+            row_block,
         ),
         scratch_shapes=[pltpu.VMEM((TBL_COLS, MESHLET_TRIS), I32)],
         interpret=interpret,
     )(lt3, mat3, tblT)
-    return comb, keys.reshape(t), flags.reshape(t)
+    return (
+        comb, keys.reshape(t), flags.reshape(t),
+        extx.reshape(t), exty.reshape(t),
+    )

@@ -1,1 +1,5 @@
-from .sharding import render_frame_sharded, make_render_mesh  # noqa: F401
+from .sharding import (  # noqa: F401
+    make_render_mesh,
+    render_frame_sharded,
+    render_frame_sharded_fused,
+)

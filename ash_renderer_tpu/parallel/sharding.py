@@ -101,6 +101,107 @@ def _slab_pipeline(
     return rgba8, overflow
 
 
+def _slab_pipeline_fused(
+    statics,
+    n_dev: int,
+    positions, vert_obj, normals, colors, uvs,
+    tri_v, tri_obj, obj_material,
+    model_mats, mvp_mats, camera_pos,
+    materials, atlas, light, tri_mat, ltT, matT,
+):
+    """Per-device body for the FUSED pipeline: geometry + setup kernel are
+    replicated; each device derives window-local streaming keys from the
+    setup kernel's packed pixel-AABB extents, sorts its own slab's order,
+    and runs the raster/distribute kernel + tile-flat shading on its tile
+    rows.  No communication until the row-sharded frame assembly."""
+    from .. import pipeline as plmod
+    from ..ops import binsort, fused_kernel, setup_kernel, tritables
+    from ..ops.geometry import MAX_CLIP_TRIS
+
+    cfg = statics.cfg
+    st = statics.settings
+    rows_per = cfg.grid_h // n_dev
+    dev = jax.lax.axis_index("rows")
+    tile_row0 = dev * rows_per
+
+    tblT = setup_kernel.transform_vertices_T(
+        positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
+    )
+    comb, _, flags, extx, exty = setup_kernel.triangle_setup(
+        tblT, ltT, matT, cfg, interpret=statics.interpret,
+        tail_rows=st.clip_budget * MAX_CLIP_TRIS,
+    )
+    comb, keys_tail, gstats = plmod._clip_tail_into(
+        statics, tblT, tri_v, tri_mat, flags, comb, tile_row0, rows_per
+    )
+    keys_main = binsort.stream_keys_from_aabb(
+        (flags & 1).astype(bool), extx, exty, cfg, tile_row0, rows_per
+    )
+    keys = jnp.concatenate([keys_main, keys_tail])
+    order, bounds = binsort.sort_and_bounds(keys, cfg, rows_per)
+    rmeta = fused_kernel.build_range_meta(
+        bounds, rows_per * cfg.grid_w, cfg.grid_w, tile_row0
+    )
+    tbl_sorted = tritables.sorted_table(comb, order, 256)
+    vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
+        rmeta, tbl_sorted, cfg, interpret=statics.interpret,
+        tile_rows=rows_per,
+    )
+    rgba8 = plmod._shade_from_planes(
+        statics, planes, vis_t, camera_pos,
+        materials if statics.has_materials else None,
+        atlas if statics.has_atlas else None,
+        light if statics.has_light else None,
+        tile_row0=tile_row0,
+    )
+    overflow = jax.lax.pmax(gstats["clip_overflow"], "rows")
+    return rgba8, overflow
+
+
+def render_frame_sharded_fused(
+    statics,
+    mesh: Mesh,
+    positions, vert_obj, normals, colors, uvs,
+    tri_v, tri_obj, obj_material,
+    model_mats, mvp_mats, camera_pos,
+    materials=None, atlas=None, light=None,
+    tri_mat=None, ltT=None, matT=None,
+):
+    """Multi-chip render via the fused (flagship) pipeline: framebuffer
+    tile rows data-parallel over mesh axis "rows", ICI all_gather of RGBA8
+    rows as the only collective.  Same constraints as
+    render_frame_sharded; requires meshlet tables (Renderer fused path).
+    Returns (rgba8, stats) with stats["clip_overflow"] = worst per-slab
+    clip-budget overflow."""
+    n_dev = mesh.devices.size
+    cfg = statics.cfg
+    if cfg.grid_h % n_dev:
+        raise ValueError(
+            f"grid_h {cfg.grid_h} not divisible by {n_dev} devices"
+        )
+    slab_disp_rows = cfg.grid_h // n_dev * cfg.tile_h
+    if slab_disp_rows % statics.settings.supersample:
+        raise ValueError("slab rows not divisible by supersample factor")
+    assert ltT is not None and matT is not None and tri_mat is not None
+
+    body = functools.partial(_slab_pipeline_fused, statics, n_dev)
+    spec_repl = P()
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple([spec_repl] * 17),
+        out_specs=(P("rows", None, None), spec_repl),
+        check_vma=False,
+    )
+    rgba8, overflow = fn(
+        positions, vert_obj, normals, colors, uvs,
+        tri_v, tri_obj, obj_material,
+        model_mats, mvp_mats, camera_pos,
+        materials, atlas, light, tri_mat, ltT, matT,
+    )
+    return rgba8, {"clip_overflow": overflow}
+
+
 def render_frame_sharded(
     statics,
     mesh: Mesh,

@@ -121,17 +121,22 @@ render_frame_jit = jax.jit(render_frame, static_argnames=("statics",))
 
 
 def _shade_from_planes(statics, planes, vis_t, camera_pos, materials, atlas,
-                       light):
+                       light, tile_row0=0):
     """Shade the distributed field planes TILE-FLAT: planes stay in the
     kernel's (n_tiles, 48, 1024) field-major layout (no lane padding, no
     400 MB field relayout); per-pixel screen coordinates are derived from
-    the tile index, and only the final RGBA is relaid out to (H, W)."""
+    the tile index, and only the final RGBA is relaid out to (H, W).
+
+    tile_row0: first tile row of this slab (traced under shard_map); when
+    nonzero the caller guarantees the slab needs no row crop."""
     cfg = statics.cfg
     st = statics.settings
     th, tw = fused_kernel.TILE_H, fused_kernel.TILE_W
-    gh, gw = cfg.grid_h, cfg.grid_w
-    n_tiles = gh * gw
+    gw = cfg.grid_w
+    n_tiles = planes.shape[0]
+    gh = n_tiles // gw
     hpad, wpad = gh * th, gw * tw
+    full_frame = isinstance(tile_row0, int) and tile_row0 == 0
     vis_p = jnp.pad(
         vis_t,
         ((0, hpad - vis_t.shape[0]), (0, wpad - vis_t.shape[1])),
@@ -163,7 +168,7 @@ def _shade_from_planes(statics, planes, vis_t, camera_pos, materials, atlas,
     ti = jax.lax.broadcasted_iota(I32, (n_tiles, th * tw), 0)
     si = jax.lax.broadcasted_iota(I32, (n_tiles, th * tw), 1)
     px = (ti % gw) * tw + (si % tw)
-    py = (ti // gw) * th + (si // tw)
+    py = (ti // gw) * th + (si // tw) + tile_row0 * th
     rgba = shade.shade_gathered(
         jnp,
         valid,
@@ -186,7 +191,8 @@ def _shade_from_planes(statics, planes, vis_t, camera_pos, materials, atlas,
             x.reshape(gh, gw, th, tw, 4).transpose(0, 2, 1, 3, 4)
             .reshape(hpad, wpad, 4)
         )
-        return img[: cfg.height, : cfg.width]
+        rows = cfg.height if full_frame else hpad
+        return img[:rows, : cfg.width]
 
     if st.supersample == 1:
         # pack first (4 u8/px), relayout the small image
@@ -265,7 +271,7 @@ def render_frame_fused(
         if matT is None:
             matT = tri_mat.reshape(-1, MESHLET_TRIS)
         ntail = st.clip_budget * geometry.MAX_CLIP_TRIS
-        comb, keys_main, flags = setup_kernel.triangle_setup(
+        comb, keys_main, flags, _, _ = setup_kernel.triangle_setup(
             tblT, ltT, matT, cfg, interpret=statics.interpret,
             tail_rows=ntail,
         )
@@ -302,9 +308,11 @@ render_frame_fused_jit = jax.jit(
 _fstage_transform = jax.jit(setup_kernel.transform_vertices_T)
 
 
-def _clip_tail_into(statics, tblT, tri_v, tri_mat, flags, comb):
+def _clip_tail_into(statics, tblT, tri_v, tri_mat, flags, comb,
+                    tile_row0=0, tile_rows=None):
     """Clip tail + stats; tail comb rows written IN PLACE into the
-    reserved region after the main block (comb row T onward)."""
+    reserved region after the main block (comb row T onward).  tile_row0/
+    tile_rows window the tail streaming keys (multi-chip slabs)."""
     cfg = statics.cfg
     st = statics.settings
     needs_clip = ((flags >> 1) & 1).astype(bool)
@@ -320,6 +328,7 @@ def _clip_tail_into(statics, tblT, tri_v, tri_mat, flags, comb):
     keys_tail = binsort.stream_keys(
         tail_f["valid"], tail_f["x0"], tail_f["y0"], tail_f["x1"],
         tail_f["y1"], tail_f["x2"], tail_f["y2"], cfg,
+        tile_row0, tile_rows,
     )
     n_valid = jnp.sum(flags & 1) + jnp.sum(tail_f["valid"].astype(I32))
     gstats = {
@@ -378,7 +387,7 @@ def render_frame_fused_staged(
     tblT = _fstage_transform(
         positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
     )
-    comb, keys_main, flags = setup_kernel.triangle_setup(
+    comb, keys_main, flags, _, _ = setup_kernel.triangle_setup(
         tblT, ltT, matT, cfg, interpret=statics.interpret,
         tail_rows=st.clip_budget * geometry.MAX_CLIP_TRIS,
     )

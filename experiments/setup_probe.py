@@ -70,7 +70,7 @@ def main():
     setup = jax.jit(
         lambda tbl: setup_kernel.triangle_setup(tbl, b["ltT"], b["matT"], cfg)
     )
-    dt, (comb_main, keys_main, flags) = timeit(setup, tblT)
+    dt, (comb_main, keys_main, flags, _ex, _ey) = timeit(setup, tblT)
     print(f"setup kernel: {dt*1000:.1f} ms", flush=True)
 
     @jax.jit

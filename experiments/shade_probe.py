@@ -1,5 +1,5 @@
-"""Split the fused raster kernel's cost: phase V only vs D only vs both,
-plus segment statistics, at the config4 workload."""
+"""Split the fused shade stage's cost at the config4 workload: full vs
+no-texture vs no-light vs unpack-only, plus the final relayout."""
 import dataclasses
 import os
 import sys
@@ -30,9 +30,9 @@ def timeit(fn, *args, reps=8):
 def main():
     from ash_renderer_tpu.benchmarks import config4_million_tri
     from ash_renderer_tpu.oracle.raster_cpu import compose_mvp
-    from ash_renderer_tpu.ops import binsort, fused_kernel, setup_kernel, \
-        tritables, geometry
+    from ash_renderer_tpu.ops import fused_kernel, setup_kernel
     from ash_renderer_tpu.renderer import Renderer
+    from ash_renderer_tpu import pipeline as plmod
 
     scene, settings, cams = config4_million_tri()
     settings = dataclasses.replace(settings, pipeline="fused")
@@ -46,34 +46,37 @@ def main():
     mm = scene.model_matrices()
     mvp = compose_mvp(mm, view, proj)
 
-    from ash_renderer_tpu import pipeline as plmod
-
     tblT = plmod._fstage_transform(
         b["positions"], b["vert_obj"], b["normals"], b["colors"], b["uvs"],
         jnp.asarray(mm), jnp.asarray(mvp),
     )
     comb, keys_main, flags, _, _ = setup_kernel.triangle_setup(
-        tblT, b["ltT"], b["matT"], cfg,
-        tail_rows=st.clip_budget * 7,
+        tblT, b["ltT"], b["matT"], cfg, tail_rows=st.clip_budget * 7,
     )
     comb, keys_tail, _ = plmod._fstage_tail(
         r.statics, tblT, b["tri_v"], b["tri_mat"], flags, comb
     )
     rmeta, tbl = plmod._fstage_sort(cfg, comb, keys_main, keys_tail)
-    force((rmeta, tbl))
+    vis_d, vis_t, planes = fused_kernel.rasterize_distribute(rmeta, tbl, cfg)
+    force((vis_t, planes))
+    campos = jnp.asarray(cam.position.astype(np.float32))
 
-    # segment stats
-    rm = np.asarray(rmeta).reshape(-1, 2)
-    lens = rm[:, 1] - rm[:, 0]
-    segs = np.sum(np.where(lens > 0, ((rm[:,1] - (rm[:,0]//8)*8) + 127)//128, 0))
-    print(f"ranges: {(lens>0).sum()} nonempty / {len(lens)}, "
-          f"slots: {lens.sum()}, segments/phase: {segs}", flush=True)
-
-    for ph in ("vd", "v", "d"):
-        fn = jax.jit(lambda rm_, tb_, ph=ph: fused_kernel.rasterize_distribute(
-            rm_, tb_, cfg, phases=ph))
-        dt, _ = timeit(fn, rmeta, tbl)
-        print(f"phases={ph}: {dt*1000:.1f} ms", flush=True)
+    variants = [
+        ("full (tex+light)", r.statics),
+        ("no atlas", dataclasses.replace(r.statics, has_atlas=False)),
+        ("no light", dataclasses.replace(r.statics, has_light=False)),
+        ("vertex color only", dataclasses.replace(
+            r.statics, has_atlas=False, has_light=False,
+            has_materials=False)),
+    ]
+    for name, statics in variants:
+        fn = jax.jit(
+            lambda p, v, s=statics: plmod._fstage_shade(
+                s, p, v, campos, r.materials, r.atlas, r.light
+            )
+        )
+        dt, _ = timeit(fn, planes, vis_t)
+        print(f"shade [{name}]: {dt*1000:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -76,7 +76,7 @@ def test_setup_kernel_matches_xla_path(seed, spread):
     ltT, matT = setup_kernel.prep_static(
         packed.local_tri, tri_mat, packed.tri_v[:, 0] >= 0
     )
-    comb_k, keys_k, flags_k = setup_kernel.triangle_setup(
+    comb_k, keys_k, flags_k, extx_k, exty_k = setup_kernel.triangle_setup(
         tblT, jnp.asarray(ltT), jnp.asarray(matT), cfg, interpret=True
     )
     comb_k = np.asarray(comb_k)

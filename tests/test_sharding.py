@@ -168,3 +168,66 @@ def test_graft_entry_multichip():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(4)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_fused_matches_single_device(n_dev):
+    """The flagship (fused setup + raster/distribute kernel) pipeline,
+    slab-sharded over tile rows, must equal the single-device fused frame
+    bit-for-bit."""
+    from ash_renderer_tpu.ops import setup_kernel
+    from ash_renderer_tpu.parallel import render_frame_sharded_fused
+    from ash_renderer_tpu.pipeline import render_frame_fused_staged
+
+    devices = jax.devices()[:n_dev]
+    assert len(devices) == n_dev
+    mesh = make_render_mesh(devices)
+
+    scene = _scene(seed=9, nv=140, nt=200)
+    height = 8 * 8 * n_dev
+    settings = RendererSettings(
+        width=128, height=height, clip_budget=128, pipeline="fused"
+    )
+    cam = Camera()
+    cfg = derive_raster_config(128, height, tile_h=8)
+    packed = scene.pack(meshlets=True)
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(128 / height)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=False, has_atlas=False,
+        has_light=False, interpret=True,
+    )
+    tri_mat = packed.obj_material[
+        np.clip(packed.tri_obj, 0, len(packed.obj_material) - 1)
+    ]
+    ltT, matT = setup_kernel.prep_static(
+        packed.local_tri, tri_mat, packed.tri_v[:, 0] >= 0
+    )
+    arrs = (
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+    )
+    single, aux = render_frame_fused_staged(
+        statics, *arrs, None, None, None,
+        jnp.asarray(packed.local_tri), jnp.asarray(tri_mat),
+        ltT=jnp.asarray(ltT), matT=jnp.asarray(matT),
+    )
+    sharded, sstats = jax.jit(
+        lambda *a: render_frame_sharded_fused(statics, mesh, *a)
+    )(
+        *arrs, None, None, None,
+        jnp.asarray(tri_mat), jnp.asarray(ltT), jnp.asarray(matT),
+    )
+    assert (np.asarray(aux["vis_tri"]) >= 0).sum() > 50
+    # both paths share the clip budget, so overflow (if any) is identical
+    # and the dropped set matches — the frames must still be bit-equal
+    assert int(np.asarray(sstats["clip_overflow"])) == int(
+        np.asarray(aux["clip_overflow"])
+    )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
