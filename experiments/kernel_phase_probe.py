@@ -63,7 +63,7 @@ def main():
     force((rmeta, tbl))
 
     # segment stats
-    rm = np.asarray(rmeta).reshape(-1, 2)
+    rm = np.asarray(rmeta)[:-1].reshape(-1, 2)
     lens = rm[:, 1] - rm[:, 0]
     segs = np.sum(np.where(lens > 0, ((rm[:,1] - (rm[:,0]//8)*8) + 127)//128, 0))
     print(f"ranges: {(lens>0).sum()} nonempty / {len(lens)}, "
