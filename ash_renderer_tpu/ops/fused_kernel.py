@@ -69,7 +69,8 @@ GRP_T = 32  # triangles per visibility evaluation group (sublane dim)
 TILE_H = 8
 TILE_W = 128
 N_PIX = TILE_H * TILE_W
-OUT_COLS = 48  # distributed per-pixel fields (table cols 0-47)
+COMB_USED = 48  # distributed table cols consumed by phase E (0-47)
+OUT_COLS = 24  # phase E output planes: 12 attrs, 4 uv-deriv raws, mat, pad
 
 
 def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0):
@@ -344,12 +345,59 @@ def _kernel(
         jax.lax.fori_loop(0, nsw, swd_body, 0)
 
     o = (
-        (out_p0[...] & 255)
-        | ((out_p1[...] & 255) << 8)
-        | ((out_p2[...] & 255) << 16)
-        | (out_p3[...] << 24)
-    )  # (128 cols, 1024 px)
-    planes_ref[0] = o[0:OUT_COLS, :]
+        (out_p0[0:COMB_USED, :] & 255)
+        | ((out_p1[0:COMB_USED, :] & 255) << 8)
+        | ((out_p2[0:COMB_USED, :] & 255) << 16)
+        | (out_p3[0:COMB_USED, :] << 24)
+    )  # (48 cols, 1024 px) distributed winner fields
+
+    # ---------------- Phase E: interpolation ----------------
+    # The interpolation half of shading runs here on the VMEM-resident
+    # field rows ((1, 1024) lane vectors) via the SAME ops/shade.
+    # interp_fields the XLA/oracle path uses — bit-identical by
+    # construction, and it shrinks the planes output from 48 raw field
+    # planes to 17 (12 interpolated attrs, 4 uv-derivative raws, mat).
+    # Background pixels (all-zero fields) produce the same NaN attrs the
+    # XLA interp produced from the same zero planes; shade_surface masks
+    # them by visibility exactly as before.
+    from .shade import interp_fields
+
+    off_c = I32(-cfg.min_coord)
+
+    def orow(c):
+        return o[c : c + 1, :]  # (1, 1024) i32
+
+    def oxy(c):
+        p = orow(c)
+        return ((p & 0xFFFF) - off_c), (((p >> 16) & 0xFFFF) - off_c)
+
+    def of32(c):
+        return jax.lax.bitcast_convert_type(orow(c), F32)
+
+    ge = {}
+    ge["x0"], ge["y0"] = oxy(0)
+    ge["x1"], ge["y1"] = oxy(1)
+    ge["x2"], ge["y2"] = oxy(2)
+    ge["inv_area2"] = of32(5)
+    ge["iw0"] = of32(6)
+    ge["iw1"] = of32(7)
+    ge["iw2"] = of32(8)
+    a0e = [of32(10 + i) for i in range(12)]
+    a1e = [of32(22 + i) for i in range(12)]
+    a2e = [of32(34 + i) for i in range(12)]
+    pix = jax.lax.broadcasted_iota(I32, (1, N_PIX), 1)
+    pxe = tile_x * TILE_W + (pix % TILE_W)
+    pye = (row0 + tile_y) * TILE_H + pix // TILE_W
+    attr, duv = interp_fields(jnp, ge, a0e, a1e, a2e, pxe, pye, cfg)
+    for i in range(12):
+        planes_ref[0, i : i + 1, :] = jax.lax.bitcast_convert_type(
+            attr[i], I32
+        )
+    for k in range(4):
+        planes_ref[0, 12 + k : 13 + k, :] = jax.lax.bitcast_convert_type(
+            duv[k], I32
+        )
+    planes_ref[0, 16:17, :] = orow(9)  # mat
 
 
 @functools.partial(

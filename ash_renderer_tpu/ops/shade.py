@@ -131,6 +131,71 @@ def sample_texture(
     return sm.lerp(top, bot, fv[..., None])
 
 
+def interp_fields(xp, g, a0, a1, a2, px, py, cfg):
+    """The interpolation half of shading: per-pixel edge functions,
+    perspective-correct weights, attribute interpolation, and the raw uv
+    screen-derivative terms the mip selector consumes.
+
+    a0/a1/a2: per-corner attributes as LISTS of 12 per-channel arrays (the
+    fused kernel holds channels as separate lane rows; the XLA/oracle path
+    wraps (..., 12) arrays — the per-channel dot3 is elementwise identical
+    to the broadcast form).  Returns (attr list of 12, (durx, dvrx, dury,
+    dvry)) where du = durx * level_w exactly reproduces _mip_level's
+    ((dux - u*dsx) * inv_s) * bw chain.
+
+    Shared verbatim by ops/fused_kernel's phase E (xp=jnp inside Pallas)
+    and shade_gathered below — same formulas, same bits."""
+    (e0, e1, e2), (a0c, a1c, a2c) = _edges_at_pixels(g, px, py, cfg, xp)
+    l0, l1, l2 = sm.bary_weights(e0, e1, e2, g["inv_area2"], xp)
+    m0, m1, m2 = sm.persp_weights(
+        l0, l1, l2, g["iw0"], g["iw1"], g["iw2"], xp
+    )
+    attr = [
+        sm.dot3(m0, a0[ch], m1, a1[ch], m2, a2[ch]) for ch in range(12)
+    ]
+
+    # mip derivative raws (cut exactly at _mip_level's "* bw" boundary)
+    scale = F32(cfg.subpixel_scale)
+    x0, y0 = g["x0"], g["y0"]
+    x1, y1 = g["x1"], g["y1"]
+    x2, y2 = g["x2"], g["y2"]
+    b0 = x2 - x1
+    b1 = x0 - x2
+    b2 = x1 - x0
+    inv_area = g["inv_area2"]
+    dp = []
+    for (ea, eb), iw in (
+        ((a0c, b0), g["iw0"]),
+        ((a1c, b1), g["iw1"]),
+        ((a2c, b2), g["iw2"]),
+    ):
+        gx = ea.astype(F32) * scale * inv_area * iw
+        gy = eb.astype(F32) * scale * inv_area * iw
+        dp.append((gx, gy))
+    p0 = e0.astype(F32) * inv_area * g["iw0"]
+    p1 = e1.astype(F32) * inv_area * g["iw1"]
+    p2 = e2.astype(F32) * inv_area * g["iw2"]
+    s = (p0 + p1) + p2
+    inv_s = sm.recip_spec(s, xp)
+    u0, v0c = a0[7], a0[8]
+    u1, v1c = a1[7], a1[8]
+    u2, v2c = a2[7], a2[8]
+    u, v = attr[7], attr[8]
+
+    def raws(axis):
+        dsx = sm.dot3(
+            dp[0][axis], F32(1.0), dp[1][axis], F32(1.0), dp[2][axis],
+            F32(1.0),
+        )
+        dux = sm.dot3(dp[0][axis], u0, dp[1][axis], u1, dp[2][axis], u2)
+        dvx = sm.dot3(dp[0][axis], v0c, dp[1][axis], v1c, dp[2][axis], v2c)
+        return (dux - u * dsx) * inv_s, (dvx - v * dsx) * inv_s
+
+    durx, dvrx = raws(0)
+    dury, dvry = raws(1)
+    return attr, (durx, dvrx, dury, dvry)
+
+
 _PACK_FIELDS = "x0 y0 x1 y1 x2 y2 inv_area2 iw0 iw1 iw2 v0 v1 v2 mat".split()
 _PACK_FLOAT = {"inv_area2", "iw0", "iw1", "iw2"}
 
@@ -225,29 +290,47 @@ def shade_gathered(
     if py is None:
         # py_offset may be traced (per-device slab origin under shard_map)
         py = _iota2(xp, h, w, 0) + py_offset
-    (e0, e1, e2), (a0, a1, a2) = _edges_at_pixels(g, px, py, cfg, xp)
-    l0, l1, l2 = sm.bary_weights(e0, e1, e2, g["inv_area2"], xp)
-    m0, m1, m2 = sm.persp_weights(l0, l1, l2, g["iw0"], g["iw1"], g["iw2"], xp)
+    a0 = [a_v0[..., ch] for ch in range(12)]
+    a1 = [a_v1[..., ch] for ch in range(12)]
+    a2 = [a_v2[..., ch] for ch in range(12)]
+    attr, duv = interp_fields(xp, g, a0, a1, a2, px, py, cfg)
+    return shade_surface(
+        xp, valid, attr, g["mat"], duv,
+        materials=materials, atlas=atlas, light=light,
+        camera_pos=camera_pos, clear_color=clear_color,
+    )
 
-    attr = sm.dot3(m0[..., None], a_v0, m1[..., None], a_v1, m2[..., None], a_v2)
 
-    color = attr[..., 0:4]
-    normal = attr[..., 4:7]
-    uv = attr[..., 7:9]
-    wpos = attr[..., 9:12]
+def shade_surface(
+    xp,
+    valid,
+    attr,
+    mat_id,
+    duv,
+    materials=None,
+    atlas=None,
+    light=None,
+    camera_pos=None,
+    clear_color=(0.0, 0.0, 0.0, 1.0),
+):
+    """The surface half of shading, from interpolated values: material
+    modulation, mip selection (from interp_fields' raw derivatives) +
+    texture tap, Blinn-Phong lighting, background clear.  attr: list of 12
+    interpolated channels; duv: (durx, dvrx, dury, dvry)."""
+    color = xp.stack(attr[0:4], axis=-1)
+    normal = xp.stack(attr[4:7], axis=-1)
+    u, v = attr[7], attr[8]
+    wpos = xp.stack(attr[9:12], axis=-1)
 
     rgba = color
     if materials is not None:
-        mat = xp.clip(g["mat"], 0, materials.base_color.shape[0] - 1)
+        mat = xp.clip(mat_id, 0, materials.base_color.shape[0] - 1)
         base = _take(materials.base_color, mat, xp)
         rgba = rgba * base
         if atlas is not None:
             tex_id = _take(materials.tex_id, mat, xp)
-            level = _mip_level(
-                xp, g, (e0, e1, e2), (m0, m1, m2), a_v0, a_v1, a_v2, atlas,
-                tex_id, cfg,
-            )
-            texel = sample_texture(xp, atlas, tex_id, uv[..., 0], uv[..., 1], level)
+            level = _mip_from_raws(xp, duv, atlas, tex_id)
+            texel = sample_texture(xp, atlas, tex_id, u, v, level)
             rgba = xp.where((tex_id >= 0)[..., None], rgba * texel, rgba)
 
     if light is not None:
@@ -286,6 +369,29 @@ def shade_gathered(
 
     clear = xp.asarray(np.asarray(clear_color, dtype=F32))
     return xp.where(valid[..., None], rgba, clear)
+
+
+def _mip_from_raws(xp, duv, atlas, tex_id):
+    """Nearest mip level from interp_fields' raw uv screen derivatives:
+    du = durx * level_w reproduces the analytic plane-identity chain
+    exactly; level = floor(log2 sqrt(max footprint^2)) via exponent bits
+    (transcendental-free, deterministic)."""
+    durx, dvrx, dury, dvry = duv
+    tex_c = xp.clip(tex_id, 0, atlas.level_w.shape[0] - 1)
+    bw = _take(atlas.level_w[:, 0], tex_c, xp).astype(F32)
+    bh = _take(atlas.level_h[:, 0], tex_c, xp).astype(F32)
+    nl = _take(atlas.n_levels, tex_c, xp)
+
+    def footprint2(dur, dvr):
+        du = dur * bw
+        dv = dvr * bh
+        return du * du + dv * dv
+
+    rho2 = xp.maximum(footprint2(durx, dvrx), footprint2(dury, dvry))
+    rho2 = xp.maximum(rho2, F32(1e-20))
+    e2b = sm.float_exponent(rho2, xp)
+    level = e2b >> 1
+    return xp.clip(level, 0, xp.maximum(nl - 1, 0)).astype(I32)
 
 
 def _iota2(xp, h, w, axis):

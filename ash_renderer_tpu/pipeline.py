@@ -151,39 +151,22 @@ def _shade_from_planes(statics, planes, vis_t, camera_pos, materials, atlas,
     def f(i):
         return planes[:, i, :]
 
-    g = {}
-    # field indices = tritables table-column layout (cols 3-4 are the
-    # visibility-only zq fields; col 46 is the id debug plane)
-    g["x0"], g["y0"] = tritables.unpack_coord_planes(f(0), cfg)
-    g["x1"], g["y1"] = tritables.unpack_coord_planes(f(1), cfg)
-    g["x2"], g["y2"] = tritables.unpack_coord_planes(f(2), cfg)
-    g["inv_area2"] = sm_bitcast(f(5))
-    g["iw0"] = sm_bitcast(f(6))
-    g["iw1"] = sm_bitcast(f(7))
-    g["iw2"] = sm_bitcast(f(8))
-    g["mat"] = f(9)
-    a_v0 = sm_bitcast(jnp.stack([f(10 + i) for i in range(12)], axis=-1))
-    a_v1 = sm_bitcast(jnp.stack([f(22 + i) for i in range(12)], axis=-1))
-    a_v2 = sm_bitcast(jnp.stack([f(34 + i) for i in range(12)], axis=-1))
-    ti = jax.lax.broadcasted_iota(I32, (n_tiles, th * tw), 0)
-    si = jax.lax.broadcasted_iota(I32, (n_tiles, th * tw), 1)
-    px = (ti % gw) * tw + (si % tw)
-    py = (ti // gw) * th + (si // tw) + tile_row0 * th
-    rgba = shade.shade_gathered(
+    # plane layout = the kernel's phase E output: 12 interpolated attr
+    # channels, 4 raw uv screen derivatives, material id
+    attr = [sm_bitcast(f(i)) for i in range(12)]
+    duv = tuple(sm_bitcast(f(12 + k)) for k in range(4))
+    mat_id = f(16)
+    rgba = shade.shade_surface(
         jnp,
         valid,
-        g,
-        a_v0,
-        a_v1,
-        a_v2,
+        attr,
+        mat_id,
+        duv,
         materials=materials if statics.has_materials else None,
         atlas=atlas if statics.has_atlas else None,
         light=light if statics.has_light else None,
         camera_pos=camera_pos,
-        cfg=cfg,
         clear_color=st.clear_color,
-        px=px,
-        py=py,
     )
 
     def to_image(x):

@@ -79,10 +79,17 @@ class Renderer:
     # ----- settings-dependent world -------------------------------------
     def _build_settings_dependent(self, scene: Scene, settings: RendererSettings):
         if settings.pipeline == "auto":
+            # fused on TPU — except for tiny scenes, where its fixed
+            # per-frame cost loses to the classic pair pipeline (measured
+            # at 800x600: 2-tri reference 38 vs 52 FPS, 3.5k-tri config2
+            # 28 vs 34; 9k-tri config1 already wins 70.7 vs ~30)
+            n_tris = sum(m.num_triangles for m in scene.meshes)
             settings = dataclasses.replace(
                 settings,
                 pipeline=(
-                    "fused" if self.device.platform == "tpu" else "classic"
+                    "fused"
+                    if self.device.platform == "tpu" and n_tris >= 4096
+                    else "classic"
                 ),
             )
         self.scene = scene
