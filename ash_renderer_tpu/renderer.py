@@ -24,6 +24,7 @@ ring, which blocks only frames_in_flight frames later (fence analogue).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional
 
@@ -214,6 +215,116 @@ class Renderer:
         vertex_buffer_components.rs:71-87)."""
         self.scene.meshes[mesh_index] = mesh
         self.update_settings(self.settings, self.scene)
+
+    def warmup(self, parallel: bool = True) -> float:
+        """Compile every pipeline stage for the current configuration
+        before the first frame, overlapping the per-module XLA compiles in
+        threads (the staged fused pipeline is 6 independent modules; the
+        compile service accepts concurrent requests, so wall time drops
+        from the ~sum to ~the max — measured 17 s for all six at a fresh
+        1024x768 config).  Uses abstract (shape-only) arguments via
+        jax.eval_shape — no device work.  Returns seconds spent.
+
+        Note (this container's remote-TPU tunnel): cold first-FRAME latency
+        is dominated by per-program device load at first execution
+        (~minutes for a fresh shape), which no amount of compile warmup
+        removes; with the persistent compilation cache
+        (JAX_COMPILATION_CACHE_DIR) warm, the first frame is ~45-55 s at
+        the 1080p headline."""
+        import concurrent.futures
+        import time as _time
+
+        from . import pipeline as plmod
+        from .ops import fused_kernel, setup_kernel
+
+        t0 = _time.perf_counter()
+        st = self.settings
+        b = self._buffers
+        sds = jax.ShapeDtypeStruct
+        f32, i32 = np.float32, np.int32
+        o = self.scene.model_matrices().shape[0]
+        aomats = sds((o, 4, 4), f32)
+        acam = sds((3,), f32)
+        absd = lambda a: sds(a.shape, a.dtype)
+        abs_mats = jax.tree.map(absd, self.materials)
+        abs_atlas = jax.tree.map(absd, self.atlas) if self.atlas else None
+        abs_light = jax.tree.map(absd, self.light) if self.light else None
+
+        if st.pipeline != "fused" or b["local_tri"] is None:
+            lowered = [
+                plmod.render_frame_jit.lower(
+                    self.statics, absd(b["positions"]), absd(b["vert_obj"]),
+                    absd(b["normals"]), absd(b["colors"]), absd(b["uvs"]),
+                    absd(b["tri_v"]), absd(b["tri_obj"]),
+                    absd(b["obj_material"]), aomats, aomats, acam,
+                    abs_mats, abs_atlas, abs_light, None, None,
+                )
+            ]
+        else:
+            from .ops.geometry import MAX_CLIP_TRIS
+
+            cfg = self.cfg
+            ntail = st.clip_budget * MAX_CLIP_TRIS
+            vargs = (
+                absd(b["positions"]), absd(b["vert_obj"]),
+                absd(b["normals"]), absd(b["colors"]), absd(b["uvs"]),
+                aomats, aomats,
+            )
+            tblT = jax.eval_shape(
+                setup_kernel.transform_vertices_T, *vargs
+            )
+            setup_out = jax.eval_shape(
+                functools.partial(
+                    setup_kernel.triangle_setup, cfg=cfg, tail_rows=ntail
+                ),
+                tblT, absd(b["ltT"]), absd(b["matT"]),
+            )
+            comb, keys_m, flags = setup_out[0], setup_out[1], setup_out[2]
+            tail_out = jax.eval_shape(
+                functools.partial(plmod._clip_tail_into, self.statics),
+                tblT, absd(b["tri_v"]), absd(b["tri_mat"]), flags, comb,
+            )
+            comb2, keys_t = tail_out[0], tail_out[1]
+            sort_out = jax.eval_shape(
+                functools.partial(plmod._fstage_sort.__wrapped__, cfg),
+                comb2, keys_m, keys_t,
+            )
+            rmeta, tbl = sort_out
+            rast_out = jax.eval_shape(
+                functools.partial(
+                    fused_kernel.rasterize_distribute.__wrapped__, cfg=cfg
+                ),
+                rmeta, tbl,
+            )
+            _, vis_t, planes = rast_out
+            lowered = [
+                plmod._fstage_transform.lower(*vargs),
+                setup_kernel.triangle_setup.lower(
+                    tblT, absd(b["ltT"]), absd(b["matT"]), cfg,
+                    interpret=self.statics.interpret, tail_rows=ntail,
+                ),
+                plmod._fstage_tail.lower(
+                    self.statics, tblT, absd(b["tri_v"]),
+                    absd(b["tri_mat"]), flags, comb,
+                ),
+                plmod._fstage_sort.lower(cfg, comb2, keys_m, keys_t),
+                fused_kernel.rasterize_distribute.lower(
+                    rmeta, tbl, cfg, interpret=self.statics.interpret
+                ),
+                plmod._fstage_shade.lower(
+                    self.statics, planes, vis_t, acam, abs_mats,
+                    abs_atlas, abs_light,
+                ),
+            ]
+        if parallel:
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=len(lowered)
+            ) as ex:
+                list(ex.map(lambda l: l.compile(), lowered))
+        else:
+            for l in lowered:
+                l.compile()
+        return _time.perf_counter() - t0
 
     def render_frame(self, camera: Camera, model_mats: np.ndarray = None):
         """Render one frame; returns (device rgba8, aux).  Async: does not

@@ -79,3 +79,39 @@ def test_mesh_update(renderer):
     renderer.update_mesh(0, mesh)
     after = np.asarray(renderer.render_frame(Camera())[0])
     assert not np.array_equal(before, after)
+
+
+def test_warmup_fused_stages():
+    """Renderer.warmup precompiles all fused stages from abstract shapes
+    and the warmed renderer produces the same frame."""
+    import numpy as np
+
+    from ash_renderer_tpu import Mesh, RendererSettings, Scene, SceneObject
+    from ash_renderer_tpu.renderer import Renderer
+
+    rng = np.random.default_rng(2)
+    nv, nt = 150, 4200  # above the auto fused threshold
+    pos = rng.uniform(-2, 2, (nv, 3)).astype(np.float32)
+    pos[:, 2] += 3.0
+    mesh = Mesh(
+        positions=pos,
+        indices=rng.integers(0, nv, (nt, 3)).astype(np.int32),
+        colors=rng.uniform(0, 1, (nv, 4)).astype(np.float32),
+    )
+    sc = Scene()
+    sc.add_object(SceneObject(mesh=sc.add_mesh(mesh)))
+    settings = RendererSettings(
+        width=128, height=96, clip_budget=128, pipeline="fused"
+    )
+    r = Renderer(sc, settings)
+    dt = r.warmup()
+    assert dt >= 0.0
+    rgba8, aux = r.render_frame(Camera())
+    r2 = Renderer(sc, settings)
+    rgba8_cold, _ = r2.render_frame(Camera())
+    np.testing.assert_array_equal(np.asarray(rgba8), np.asarray(rgba8_cold))
+
+    # classic path warmup (single module)
+    r3 = Renderer(sc, RendererSettings(width=128, height=96, clip_budget=128))
+    assert r3.warmup() >= 0.0
+    r3.render_frame(Camera())
