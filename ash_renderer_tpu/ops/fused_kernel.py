@@ -402,6 +402,9 @@ def _kernel(
             duv[k], I32
         )
     planes_ref[0, 16:17, :] = orow(9)  # mat
+    # pad rows: zero-fill so the planes output never carries stale VMEM
+    # bytes (bit-for-bit discipline for any future consumer/debug dump)
+    planes_ref[0, 17:OUT_COLS, :] = jnp.zeros((OUT_COLS - 17, N_PIX), I32)
 
 
 @functools.partial(

@@ -250,16 +250,74 @@ class Renderer:
         abs_atlas = jax.tree.map(absd, self.atlas) if self.atlas else None
         abs_light = jax.tree.map(absd, self.light) if self.light else None
 
+        # mirror render_frame()'s actual argument signature: it always
+        # passes the device tri_mat buffer (and local_tri when meshlets
+        # exist), so warming with None there would compile an executable
+        # the first frame never hits
+        abslt = absd(b["local_tri"]) if b["local_tri"] is not None else None
+        abstm = absd(b["tri_mat"])
+        stt = self.statics.settings  # resize tier may have capped max_pairs
         if st.pipeline != "fused" or b["local_tri"] is None:
-            lowered = [
-                plmod.render_frame_jit.lower(
-                    self.statics, absd(b["positions"]), absd(b["vert_obj"]),
+            common = (
+                self.statics, absd(b["positions"]), absd(b["vert_obj"]),
+                absd(b["normals"]), absd(b["colors"]), absd(b["uvs"]),
+                absd(b["tri_v"]), absd(b["tri_obj"]),
+                absd(b["obj_material"]), aomats, aomats, acam,
+                abs_mats, abs_atlas, abs_light, abslt, abstm,
+            )
+            if st.pipeline == "fused":
+                lowered = [plmod.render_frame_fused_jit.lower(*common)]
+            elif stt.staged_pipeline:
+                # render_frame_staged runs four separate jits — warm those
+                from .ops import raster_pallas
+
+                cfg = self.cfg
+                geo_arrs = (
+                    absd(b["positions"]), absd(b["vert_obj"]),
                     absd(b["normals"]), absd(b["colors"]), absd(b["uvs"]),
                     absd(b["tri_v"]), absd(b["tri_obj"]),
-                    absd(b["obj_material"]), aomats, aomats, acam,
-                    abs_mats, abs_atlas, abs_light, None, None,
+                    absd(b["obj_material"]), aomats, aomats,
                 )
-            ]
+                geo_args = (cfg, stt.clip_budget) + geo_arrs
+                geo_kw = dict(
+                    local_tri=abslt, interpret=self.statics.interpret,
+                    tri_mat=abstm,
+                )
+                su, attrs_full, _ = jax.eval_shape(
+                    functools.partial(
+                        plmod._stage_geometry.__wrapped__,
+                        cfg, stt.clip_budget,
+                        interpret=self.statics.interpret,
+                    ),
+                    *geo_arrs, local_tri=abslt, tri_mat=abstm,
+                )
+                rec_i, rec_f, tstart, tcount, _ = jax.eval_shape(
+                    functools.partial(
+                        plmod._stage_binning.__wrapped__, cfg, stt.max_pairs
+                    ),
+                    su,
+                )
+                vis_d, vis_t = jax.eval_shape(
+                    functools.partial(
+                        raster_pallas.rasterize_visibility.__wrapped__,
+                        cfg=cfg, interpret=self.statics.interpret,
+                    ),
+                    rec_i, rec_f, tstart, tcount,
+                )
+                lowered = [
+                    plmod._stage_geometry.lower(*geo_args, **geo_kw),
+                    plmod._stage_binning.lower(cfg, stt.max_pairs, su),
+                    raster_pallas.rasterize_visibility.lower(
+                        rec_i, rec_f, tstart, tcount, cfg,
+                        interpret=self.statics.interpret,
+                    ),
+                    plmod._stage_shade.lower(
+                        self.statics, vis_t, su, attrs_full, acam,
+                        abs_mats, abs_atlas, abs_light,
+                    ),
+                ]
+            else:
+                lowered = [plmod.render_frame_jit.lower(*common)]
         else:
             from .ops.geometry import MAX_CLIP_TRIS
 

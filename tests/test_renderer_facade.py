@@ -114,4 +114,17 @@ def test_warmup_fused_stages():
     # classic path warmup (single module)
     r3 = Renderer(sc, RendererSettings(width=128, height=96, clip_budget=128))
     assert r3.warmup() >= 0.0
-    r3.render_frame(Camera())
+    rgba8_c, _ = r3.render_frame(Camera())
+
+    # staged classic warmup lowers the four _stage_* jits with the exact
+    # runtime signature (ADVICE r2: the old form warmed the monolithic jit
+    # the staged runtime never calls)
+    r4 = Renderer(
+        sc,
+        RendererSettings(
+            width=128, height=96, clip_budget=128, staged_pipeline=True
+        ),
+    )
+    assert r4.warmup() >= 0.0
+    rgba8_s, _ = r4.render_frame(Camera())
+    np.testing.assert_array_equal(np.asarray(rgba8_c), np.asarray(rgba8_s))
