@@ -104,6 +104,58 @@ def parity_gate(pipeline: str = "classic") -> bool:
     return ok
 
 
+def headline_hash_gate(rgba8, subdiv: int) -> bool | None:
+    """Scale-exactness gate: the device headline frame must byte-equal the
+    offline numpy-oracle render (docs/golden/headline_config4.json, written
+    by experiments/oracle_headline.py).  Returns None when no golden matches
+    (non-headline subdiv), else pass/fail."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    name = (
+        "headline_config4.json" if subdiv == 8
+        else f"headline_config4_s{subdiv}.json"
+    )
+    path = os.path.join(root, "docs", "golden", name)
+    if not os.path.exists(path):
+        log(f"headline hash gate: no golden for subdiv={subdiv}, skipped")
+        return None
+    with open(path) as f:
+        golden = json.load(f)
+    frame = np.asarray(rgba8)
+    digest = hashlib.sha256(frame.tobytes()).hexdigest()
+    ok = digest == golden["sha256"]
+    log(
+        f"headline hash gate ({frame.shape[1]}x{frame.shape[0]}, "
+        f"{golden['n_tris']} tris): {'EXACT' if ok else 'MISMATCH'}"
+    )
+    if not ok:
+        npz = path.replace(".json", "_rgba8.npz")
+        if os.path.exists(npz):
+            ref = np.load(npz)["rgba8"]
+            if ref.shape == frame.shape:
+                bad = int((ref != frame).any(axis=-1).sum())
+                log(f"  differing pixels: {bad} / {frame.shape[0]*frame.shape[1]}")
+    return ok
+
+
+def flyby_path(n_frames: int):
+    """Camera path that grazes the headline sphere (center [0,0,2], r=1):
+    a straight fly-by at impact parameter 1.02 looking along +Z, so frames
+    near closest approach have surface geometry crossing the near plane —
+    the clip-tail branch runs for real (the static headline camera never
+    takes it)."""
+    from ash_renderer_tpu import Camera
+
+    cams = []
+    for i in range(n_frames):
+        z = -1.0 + 6.0 * i / max(n_frames - 1, 1)
+        cams.append(
+            Camera(position=np.array([1.02, 0.0, z], np.float32))
+        )
+    return cams
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
@@ -175,7 +227,17 @@ def main():
         f" covered px: {int((np.asarray(aux['vis_tri']) >= 0).sum())}"
     )
 
-    # steady-state timing
+    # scale-exactness gate: headline frame vs the offline oracle render
+    hash_ok = True
+    if (
+        args.config == "config4_million_tri"
+        and not args.small
+        and r.settings.pipeline == "fused"
+    ):
+        res = headline_hash_gate(rgba8, args.subdiv)
+        hash_ok = res is not False
+
+    # steady-state timing (static camera)
     nf = args.frames
     t0 = time.time()
     for _ in range(nf):
@@ -185,17 +247,45 @@ def main():
     fps = 1.0 / dt
     log(f"steady state: {dt*1000:.1f} ms/frame = {fps:.2f} FPS")
 
+    # moving-camera steady state: a fly-by grazing the scene, so clip-active
+    # frames pay their real cost (the static camera never takes the
+    # clip-tail branch); same compiled executable, no re-trace
+    orbit_fps = None
+    if args.config == "config4_million_tri" and not args.small:
+        fcams = flyby_path(24)
+        r.render_frame(fcams[0])  # clip-branch not a new compile, but warm it
+        clipped = []
+        t0 = time.time()
+        for fc in fcams:
+            rgba8_m, aux_m = r.render_frame(fc)
+            if "n_clipped" in aux_m:
+                clipped.append(aux_m["n_clipped"])
+        force(rgba8_m)
+        mdt = (time.time() - t0) / len(fcams)
+        orbit_fps = 1.0 / mdt
+        ncl = [int(np.asarray(c)) for c in clipped]
+        log(
+            f"moving camera (fly-by): {mdt*1000:.1f} ms/frame = "
+            f"{orbit_fps:.2f} FPS; clipped tris/frame min={min(ncl)} "
+            f"max={max(ncl)} (frames with clips: "
+            f"{sum(1 for c in ncl if c > 0)}/{len(ncl)})"
+        )
+
     value = round(fps, 3)
+    flags = ("" if parity_ok else " [PARITY GATE FAILED]") + (
+        "" if hash_ok else " [HEADLINE HASH MISMATCH]"
+    )
     result = {
         "metric": (
             f"frames/sec at {settings.width}x{settings.height} on "
-            f"{args.config} ({n_tris} tris)"
-            + ("" if parity_ok else " [PARITY GATE FAILED]")
+            f"{args.config} ({n_tris} tris)" + flags
         ),
         "value": value,
         "unit": "fps",
         "vs_baseline": round(value / 60.0, 4),
     }
+    if orbit_fps is not None:
+        result["moving_camera_fps"] = round(orbit_fps, 3)
     print(json.dumps(result))
 
 
