@@ -55,6 +55,14 @@ class RendererSettings:
     # Number of framebuffer ring slots (swapchain image-count analogue;
     # the reference asks for min_image_count + 1, swapchain_components.rs:35-41).
     frames_in_flight: int = 2
+    # Wide-triangle expansion budgets (fused pipeline): triangles whose AABB
+    # spans >2 tiles in either axis are expanded into exact per-tile pair
+    # runs up to these static caps; the overflow stays in the global wide
+    # run (streamed by every tile), so the caps trade speed, never
+    # correctness.  Measured: the zoomed headline frame pays +98 ms without
+    # expansion (experiments/flyby_stage_probe.py).
+    wide_rows: int = 1 << 15
+    wide_pairs: int = 1 << 17
     # Per-stage jits instead of one fused frame function: ~10x faster
     # compiles at 1M-triangle shapes, a few percent slower steady-state.
     staged_pipeline: bool = False

@@ -173,6 +173,108 @@ def bin_sort(su: TriangleSetup, cfg: RasterConfig,
     return sort_and_bounds(key, cfg, tile_rows)
 
 
+def expand_wide_pairs(comb, order, bounds, cfg: RasterConfig,
+                      wide_rows: int, wide_pairs: int,
+                      tile_row0=0, tile_rows: int | None = None):
+    """Expand the global wide run into per-tile (tile, row) pair runs.
+
+    The wide run is streamed by EVERY tile; on zoomed/close-up frames most
+    visible triangles are magnified past the 2-tile span and the kernel
+    degenerates to all-tiles x all-wide-triangles (measured +98 ms on the
+    headline graze frame, experiments/flyby_stage_probe.py).  This turns the
+    prefix of the wide run that fits the static budgets into an exact
+    (tile, row) pair list appended after ``order``; rows beyond the budgets
+    stay in the (now smaller) global wide run, so correctness never depends
+    on the budget — only speed does.
+
+    comb:   (S, 128) combined table (only coord cols 0-2 are read);
+    order:  (S,) sorted row ids (sort_and_bounds);
+    bounds: run-bounds table (sort_and_bounds) — the wide run is
+            [bounds[n_tiles*4], bounds[n_tiles*4+1]).
+
+    Returns (pair_rows (wide_pairs,) i32 comb-row ids sorted by target tile,
+    pair_starts (n_tiles+1,) i32 run starts into pair_rows, new_wide_start
+    scalar i32 — the caller rewrites bounds[n_tiles*4] with it).  All outputs
+    are all-zeros/unchanged when the wide run is empty (lax.cond, so static
+    frames skip the expansion entirely)."""
+    ss = cfg.subpixel_scale
+    half = ss // 2
+    if tile_rows is None:
+        tile_rows = cfg.grid_h
+    gw = cfg.grid_w
+    n_tiles = tile_rows * gw
+    py_lo = tile_row0 * cfg.tile_h
+    py_hi = jnp.minimum((tile_row0 + tile_rows) * cfg.tile_h, cfg.height) - 1
+    off = I32(-cfg.min_coord)
+    s_rows = order.shape[0]
+
+    ws = bounds[n_tiles * N_GRP]
+    we = bounds[n_tiles * N_GRP + 1]
+    n_wide = we - ws
+
+    def live(_):
+        order_p = jnp.pad(order, (0, wide_rows))
+        wrows = jax.lax.dynamic_slice(order_p, (ws,), (wide_rows,))
+        idx = jnp.arange(wide_rows, dtype=I32)
+        live_row = idx < jnp.minimum(n_wide, wide_rows)
+        crows = comb[wrows]  # (wide_rows, 128) — full-width row gather
+        xs, ys = [], []
+        for c in range(3):
+            p = crows[:, c]
+            xs.append((p & 0xFFFF) - off)
+            ys.append(((p >> 16) & 0xFFFF) - off)
+        xmin = jnp.minimum(jnp.minimum(xs[0], xs[1]), xs[2])
+        xmax = jnp.maximum(jnp.maximum(xs[0], xs[1]), xs[2])
+        ymin = jnp.minimum(jnp.minimum(ys[0], ys[1]), ys[2])
+        ymax = jnp.maximum(jnp.maximum(ys[0], ys[1]), ys[2])
+        # identical pixel-AABB arithmetic to stream_keys (coverage parity)
+        pxmin = jnp.maximum(0, (xmin - half + ss - 1) // ss)
+        pxmax = jnp.minimum(cfg.width - 1, (xmax - half) // ss)
+        pymin = jnp.maximum(py_lo, (ymin - half + ss - 1) // ss)
+        pymax = jnp.minimum(py_hi, (ymax - half) // ss)
+        live_r = live_row & (pxmax >= pxmin) & (pymax >= pymin)
+        tx0 = jnp.where(live_r, pxmin // cfg.tile_w, 0)
+        tx1 = jnp.where(live_r, pxmax // cfg.tile_w, -1)
+        ty0 = jnp.where(live_r, pymin // cfg.tile_h - tile_row0, 0)
+        ty1 = jnp.where(live_r, pymax // cfg.tile_h - tile_row0, -1)
+        ntx = tx1 - tx0 + 1
+        c = jnp.where(live_r, ntx * (ty1 - ty0 + 1), 0)
+        ends = jnp.cumsum(c)
+        fits = (ends <= wide_pairs) & live_r
+        n_fit = jnp.sum(fits.astype(I32))
+        total_fit = jnp.sum(jnp.where(fits, c, 0))
+
+        i_idx = jnp.arange(wide_pairs, dtype=I32)
+        row_of = jnp.searchsorted(
+            ends, i_idx, side="right", method="sort"
+        ).astype(I32)
+        in_r = i_idx < total_fit
+        r = jnp.clip(row_of, 0, wide_rows - 1)
+        pack = jnp.stack(
+            [ends - c, jnp.maximum(ntx, 1), tx0, ty0, wrows], axis=1
+        )[r]
+        k = i_idx - pack[:, 0]
+        dy = k // pack[:, 1]
+        dx = k - dy * pack[:, 1]
+        tile = (pack[:, 3] + dy) * gw + (pack[:, 2] + dx)
+        tile = jnp.where(in_r, tile, n_tiles)
+        tile_s, row_s = jax.lax.sort_key_val(
+            tile, jnp.clip(pack[:, 4], 0, s_rows - 1)
+        )
+        qt = jnp.arange(n_tiles + 1, dtype=I32)
+        pair_starts = jnp.searchsorted(tile_s, qt, side="left").astype(I32)
+        return row_s, pair_starts, ws + n_fit
+
+    def dead(_):
+        return (
+            jnp.zeros(wide_pairs, I32),
+            jnp.zeros(n_tiles + 1, I32),
+            ws,
+        )
+
+    return jax.lax.cond(n_wide > 0, live, dead, None)
+
+
 def stream_ranges_host(bounds: np.ndarray, tile: int, gw: int, n_tiles: int):
     """Host/debug helper: the 5 position ranges tile ``tile`` streams, in
     processing order (own, above-prefix, left-prefix, diag-prefix, wide).

@@ -63,7 +63,7 @@ F32 = np.float32
 I32 = np.int32
 I8 = np.int8
 
-N_RANGES = 5
+N_RANGES = 6
 RMETA_COLS = 2  # rs, re per (tile, range)
 GRP_T = 32  # triangles per visibility evaluation group (sublane dim)
 TILE_H = 8
@@ -73,14 +73,21 @@ COMB_USED = 48  # distributed table cols consumed by phase E (0-47)
 OUT_COLS = 24  # phase E output planes: 12 attrs, 4 uv-deriv raws, mat, pad
 
 
-def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0):
-    """(n_tiles * 5 * 2 + 1,) int32: [rs, re] per (tile, range), then the
+def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0,
+                     pair_starts=None, pair_base: int = 0,
+                     wide_start=None):
+    """(n_tiles * 6 * 2 + 1,) int32: [rs, re] per (tile, range), then the
     window's first tile row (0 full-frame; the slab origin under
     shard_map — the kernel offsets its sample rows by it).
 
     Ranges per tile (processing order): own full run, ABOVE prefix
-    {dr, r, d}, LEFT prefix {dr, r}, DIAGONAL prefix {dr}, wide run —
-    see ops/binsort.py for why prefixes of whole-group runs suffice.
+    {dr, r, d}, LEFT prefix {dr, r}, DIAGONAL prefix {dr}, wide run,
+    wide-PAIR run — see ops/binsort.py for why prefixes of whole-group
+    runs suffice.  The pair run is the tile's slice of the expanded wide
+    pairs appended after ``order`` (binsort.expand_wide_pairs):
+    [pair_base + pair_starts[t], pair_base + pair_starts[t+1]); the global
+    wide run holds only the budget overflow.  pair_starts=None -> empty
+    pair runs (the expansion-free paths).
     All neighbor lookups are fixed shifts of the per-tile bound columns,
     so the whole table is strided slices + shifts + masked selects — no
     gather (the fused-gather form cost ~5 ms at 2k tiles: 100k indices on
@@ -104,14 +111,31 @@ def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0):
     left = (shift(c[0], 1, tx_ok), shift(c[2], 1, tx_ok))
     dg_ok = tx_ok & ty_ok
     diag = (shift(c[0], gw + 1, dg_ok), shift(c[1], gw + 1, dg_ok))
+    # wide_start: expansion moved [wide_s, wide_start) into per-tile pair
+    # runs; only the overflow suffix stays global.  Passed separately —
+    # rewriting bounds[n_tiles*4] would also move the LAST tile's own-run
+    # end sentinel and re-stream the expanded rows there (phase D would
+    # then accumulate their fields twice).
+    ws_eff = wide_s if wide_start is None else wide_start.reshape(1)
     wide = (
-        jnp.broadcast_to(wide_s, (n_tiles,)),
+        jnp.broadcast_to(ws_eff, (n_tiles,)),
         jnp.broadcast_to(wide_e, (n_tiles,)),
     )
+    if pair_starts is None:
+        z = jnp.zeros(n_tiles, I32)
+        pairs = (z, z)
+    else:
+        pairs = (
+            pair_base + pair_starts[:-1],
+            pair_base + pair_starts[1:],
+        )
     meta = jnp.stack(
-        [jnp.stack(p, axis=-1) for p in (own, above, left, diag, wide)],
+        [
+            jnp.stack(p, axis=-1)
+            for p in (own, above, left, diag, wide, pairs)
+        ],
         axis=1,
-    )  # (n_tiles, 5, 2)
+    )  # (n_tiles, 6, 2)
     rs = meta[..., 0]
     re = jnp.maximum(meta[..., 1], rs)
     flat = jnp.stack([rs, re], axis=-1).reshape(-1)

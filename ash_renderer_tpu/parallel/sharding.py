@@ -138,11 +138,10 @@ def _slab_pipeline_fused(
         (flags & 1).astype(bool), extx, exty, cfg, tile_row0, rows_per
     )
     keys = jnp.concatenate([keys_main, keys_tail])
-    order, bounds = binsort.sort_and_bounds(keys, cfg, rows_per)
-    rmeta = fused_kernel.build_range_meta(
-        bounds, rows_per * cfg.grid_w, cfg.grid_w, tile_row0
+    # sort + wide-pair expansion + sorted-table gather, window-local
+    rmeta, tbl_sorted = plmod.sort_expand_table(
+        statics, comb, keys, tile_row0, rows_per
     )
-    tbl_sorted = tritables.sorted_table(comb, order, 256)
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, cfg, interpret=statics.interpret,
         tile_rows=rows_per,

@@ -229,7 +229,9 @@ def render_frame_fused(
             clip, attrs, tri_v, tri_obj, obj_material, cfg, st.clip_budget,
             interpret=statics.interpret, tri_mat=tri_mat,
         )
-        order, bounds = binsort.bin_sort(su, cfg)
+        keys = binsort.stream_keys(
+            su.valid, su.x0, su.y0, su.x1, su.y1, su.x2, su.y2, cfg
+        )
         comb = tritables.build_comb_table(
             su, attrs_full, cfg, interpret=statics.interpret,
         )
@@ -262,9 +264,7 @@ def render_frame_fused(
             statics, tblT, tri_v, tri_mat, flags, comb
         )
         keys = jnp.concatenate([keys_main, keys_tail])
-        order, bounds = binsort.sort_and_bounds(keys, cfg)
-    rmeta = fused_kernel.build_range_meta(bounds, cfg.n_tiles, cfg.grid_w)
-    tbl_sorted = tritables.sorted_table(comb, order, 256)
+    rmeta, tbl_sorted = sort_expand_table(statics, comb, keys)
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, cfg, interpret=statics.interpret
     )
@@ -333,13 +333,39 @@ _fstage_tail = jax.jit(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _fstage_sort(cfg, comb, keys_main, keys_tail):
-    keys = jnp.concatenate([keys_main, keys_tail])
-    order, bounds = binsort.sort_and_bounds(keys, cfg)
-    rmeta = fused_kernel.build_range_meta(bounds, cfg.n_tiles, cfg.grid_w)
-    tbl_sorted = tritables.sorted_table(comb, order, 256)
+def sort_expand_table(statics, comb, keys, tile_row0=0,
+                      tile_rows: int | None = None):
+    """Streaming-key sort + wide-pair expansion + sorted-table gather: the
+    shared back half of the fused pipeline's binning.
+
+    Wide rows (AABB spanning >2 tiles either axis) are expanded into exact
+    per-tile pair runs appended after the sorted order (budget:
+    settings.wide_rows / settings.wide_pairs; overflow stays in the global
+    wide run, so budgets only affect speed) — measured +98 ms on the
+    zoomed headline frame without this (every tile streamed every wide
+    triangle; experiments/flyby_stage_probe.py)."""
+    cfg = statics.cfg
+    st = statics.settings
+    n_tiles = (cfg.grid_h if tile_rows is None else tile_rows) * cfg.grid_w
+    order, bounds = binsort.sort_and_bounds(keys, cfg, tile_rows)
+    pair_rows, pair_starts, new_ws = binsort.expand_wide_pairs(
+        comb, order, bounds, cfg, st.wide_rows, st.wide_pairs,
+        tile_row0, tile_rows,
+    )
+    rmeta = fused_kernel.build_range_meta(
+        bounds, n_tiles, cfg.grid_w, tile_row0,
+        pair_starts=pair_starts, pair_base=order.shape[0],
+        wide_start=new_ws,
+    )
+    order_ext = jnp.concatenate([order, pair_rows])
+    tbl_sorted = tritables.sorted_table(comb, order_ext, 256)
     return rmeta, tbl_sorted
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def _fstage_sort(statics, comb, keys_main, keys_tail):
+    keys = jnp.concatenate([keys_main, keys_tail])
+    return sort_expand_table(statics, comb, keys)
 
 
 @functools.partial(jax.jit, static_argnames=("statics",))
@@ -377,7 +403,7 @@ def render_frame_fused_staged(
     comb, keys_tail, gstats = _fstage_tail(
         statics, tblT, tri_v, tri_mat, flags, comb
     )
-    rmeta, tbl_sorted = _fstage_sort(cfg, comb, keys_main, keys_tail)
+    rmeta, tbl_sorted = _fstage_sort(statics, comb, keys_main, keys_tail)
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, cfg, interpret=statics.interpret
     )

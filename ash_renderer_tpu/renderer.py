@@ -344,7 +344,7 @@ class Renderer:
             )
             comb2, keys_t = tail_out[0], tail_out[1]
             sort_out = jax.eval_shape(
-                functools.partial(plmod._fstage_sort.__wrapped__, cfg),
+                functools.partial(plmod._fstage_sort.__wrapped__, self.statics),
                 comb2, keys_m, keys_t,
             )
             rmeta, tbl = sort_out
@@ -365,7 +365,7 @@ class Renderer:
                     self.statics, tblT, absd(b["tri_v"]),
                     absd(b["tri_mat"]), flags, comb,
                 ),
-                plmod._fstage_sort.lower(cfg, comb2, keys_m, keys_t),
+                plmod._fstage_sort.lower(self.statics, comb2, keys_m, keys_t),
                 fused_kernel.rasterize_distribute.lower(
                     rmeta, tbl, cfg, interpret=self.statics.interpret
                 ),

@@ -59,7 +59,7 @@ def main():
     comb, keys_tail, _ = plmod._fstage_tail(
         r.statics, tblT, b["tri_v"], b["tri_mat"], flags, comb
     )
-    rmeta, tbl = plmod._fstage_sort(cfg, comb, keys_main, keys_tail)
+    rmeta, tbl = plmod._fstage_sort(statics, comb, keys_main, keys_tail)
     force((rmeta, tbl))
 
     # segment stats

@@ -180,6 +180,42 @@ def test_fused_matches_classic_vertex_colors(seed, spread):
     np.testing.assert_array_equal(np.asarray(classic), np.asarray(fused))
 
 
+@pytest.mark.parametrize(
+    "wide_rows,wide_pairs",
+    [
+        (64, 256),   # expansion active, generous budgets
+        (64, 4),     # pair budget tiny -> most rows fall back to global wide
+        (2, 256),    # row budget tiny -> suffix falls back to global wide
+    ],
+)
+def test_wide_pair_expansion_budgets(wide_rows, wide_pairs):
+    """Wide-triangle pair expansion is a pure perf feature: any budget
+    (including ones that force the global-wide fallback for most rows)
+    must produce the identical frame.  spread=5 at 256x192/tile_h=8 makes
+    most triangles span >2 tiles, exercising the expansion heavily."""
+    import dataclasses
+
+    from ash_renderer_tpu.pipeline import (
+        render_frame_fused_jit,
+        render_frame_jit,
+    )
+
+    scene = _rand_scene(seed=11, spread=5.0)
+    settings = RendererSettings(width=256, height=192, clip_budget=128)
+    args, *_ = _frame_args(scene, settings, Camera())
+    classic, aux_c = render_frame_jit(*args)
+
+    wsettings = dataclasses.replace(
+        settings, wide_rows=wide_rows, wide_pairs=wide_pairs
+    )
+    wstatics = dataclasses.replace(args[0], settings=wsettings)
+    fused, aux_f = render_frame_fused_jit(wstatics, *args[1:])
+    np.testing.assert_array_equal(
+        np.asarray(aux_c["vis_tri"]), np.asarray(aux_f["vis_tri"])
+    )
+    np.testing.assert_array_equal(np.asarray(classic), np.asarray(fused))
+
+
 def test_fused_matches_oracle_textured_lit():
     from ash_renderer_tpu import DirectionalLight, Material
     from ash_renderer_tpu.models import icosphere
