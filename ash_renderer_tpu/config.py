@@ -73,6 +73,13 @@ class RendererSettings:
     # mode is slow on CPU). Bit-identical outputs (tests/test_fused.py,
     # tests/test_setup_kernel.py).
     pipeline: str = "auto"
+    # Multi-chip rendering: render over the first n jax devices as a 1-D
+    # framebuffer-row mesh (parallel/sharding.py); None = single device.
+    # Requires grid_h (render_height / tile_h) divisible by n_devices.
+    # The frame comes back bit-identical to single-device rendering
+    # (tests/test_sharding.py); an explicit ``mesh=`` argument to Renderer
+    # overrides this knob.
+    n_devices: Optional[int] = None
 
     @property
     def render_width(self) -> int:

@@ -67,10 +67,19 @@ class Renderer:
         scene: Scene,
         settings: Optional[RendererSettings] = None,
         interpret: Optional[bool] = None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh (1-D, any axis name) for
+        multi-chip rendering — framebuffer tile rows are data-parallel over
+        its devices (parallel/sharding.py) and the frame is bit-identical to
+        single-device output.  Alternatively set
+        ``RendererSettings.n_devices``; the explicit mesh wins."""
         settings = settings or RendererSettings()
         # --- settings-independent tier
-        self.device = select_device(settings)
+        self._mesh_arg = mesh
+        self.device = (
+            select_device(settings) if mesh is None else mesh.devices.flat[0]
+        )
         if interpret is None:
             interpret = self.device.platform != "tpu"
         self._interpret = interpret
@@ -95,13 +104,34 @@ class Renderer:
             )
         self.scene = scene
         self.settings = settings
+        # multi-chip: resolve the device mesh (explicit Renderer(mesh=...)
+        # wins; else settings.n_devices slices jax.devices())
+        self.mesh = self._mesh_arg
+        if self.mesh is None and settings.n_devices is not None:
+            from .parallel import make_render_mesh
+
+            devs = jax.devices()
+            if len(devs) < settings.n_devices:
+                raise ValueError(
+                    f"n_devices={settings.n_devices} but only {len(devs)} "
+                    "jax devices exist"
+                )
+            self.mesh = make_render_mesh(devs[: settings.n_devices])
         # the fused pipeline wants meshlet-local indices so triangle-corner
         # assembly runs as exact one-hot MXU gathers instead of XLA's
         # scalar-path row gathers
         packed = scene.pack(meshlets=settings.pipeline == "fused")
         self.packed = packed
-        dev = self.device
-        put = lambda a: jax.device_put(jnp.asarray(a), dev)
+        if self.mesh is not None:
+            # replicate scene buffers across the mesh so the sharded frame
+            # jit never sees single-device-committed inputs
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            put = lambda a: jax.device_put(jnp.asarray(a), repl)
+        else:
+            dev = self.device
+            put = lambda a: jax.device_put(jnp.asarray(a), dev)
         self._buffers = dict(
             positions=put(packed.positions),
             vert_obj=put(packed.vert_obj),
@@ -188,6 +218,30 @@ class Renderer:
             has_light=self.light is not None,
             interpret=self._interpret,
         )
+        self._sharded_fn = None
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            if self.cfg.grid_h % n_dev:
+                raise ValueError(
+                    f"render_height {st.render_height} gives grid_h "
+                    f"{self.cfg.grid_h}, not divisible by {n_dev} devices "
+                    f"(pad the height to a multiple of "
+                    f"{n_dev * self.cfg.tile_h * st.supersample})"
+                )
+            from .parallel import (
+                render_frame_sharded,
+                render_frame_sharded_fused,
+            )
+
+            self._sharded_fn = jax.jit(
+                functools.partial(
+                    render_frame_sharded_fused
+                    if st.pipeline == "fused"
+                    else render_frame_sharded,
+                    self.statics,
+                    self.mesh,
+                )
+            )
         self.ring = FrameRing(st.frames_in_flight)
 
     # ----- public API ----------------------------------------------------
@@ -240,6 +294,39 @@ class Renderer:
         t0 = _time.perf_counter()
         st = self.settings
         b = self._buffers
+        if self._sharded_fn is not None:
+            # multi-chip path: one jitted module; warm it from abstract args
+            # shaped like the replicated buffers
+            sds_of = lambda a: jax.ShapeDtypeStruct(
+                a.shape, a.dtype, sharding=a.sharding
+            )
+            o = self.scene.model_matrices().shape[0]
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            mat4 = jax.ShapeDtypeStruct((o, 4, 4), np.float32, sharding=repl)
+            cam3 = jax.ShapeDtypeStruct((3,), np.float32, sharding=repl)
+            tree_abs = lambda t: jax.tree.map(sds_of, t)
+            common = (
+                sds_of(b["positions"]), sds_of(b["vert_obj"]),
+                sds_of(b["normals"]), sds_of(b["colors"]), sds_of(b["uvs"]),
+                sds_of(b["tri_v"]), sds_of(b["tri_obj"]),
+                sds_of(b["obj_material"]), mat4, mat4, cam3,
+                tree_abs(self.materials),
+                tree_abs(self.atlas) if self.atlas else None,
+                tree_abs(self.light) if self.light else None,
+            )
+            if st.pipeline == "fused":
+                tail = (sds_of(b["tri_mat"]), sds_of(b["ltT"]),
+                        sds_of(b["matT"]))
+            else:
+                tail = (
+                    sds_of(b["local_tri"])
+                    if b["local_tri"] is not None
+                    else None,
+                )
+            self._sharded_fn.lower(*common, *tail).compile()
+            return _time.perf_counter() - t0
         sds = jax.ShapeDtypeStruct
         f32, i32 = np.float32, np.int32
         o = self.scene.model_matrices().shape[0]
@@ -394,6 +481,23 @@ class Renderer:
         view = camera.view_matrix()
         proj = camera.projection_matrix(st.render_width / st.render_height)
         mvp = compose_mvp(model_mats, view, proj)
+        if self._sharded_fn is not None:
+            b = self._buffers
+            common = (
+                b["positions"], b["vert_obj"], b["normals"], b["colors"],
+                b["uvs"], b["tri_v"], b["tri_obj"], b["obj_material"],
+                jnp.asarray(model_mats), jnp.asarray(mvp),
+                jnp.asarray(camera.position.astype(F32)),
+                self.materials, self.atlas, self.light,
+            )
+            if st.pipeline == "fused":
+                rgba8, aux = self._sharded_fn(
+                    *common, b["tri_mat"], b["ltT"], b["matT"]
+                )
+            else:
+                rgba8, aux = self._sharded_fn(*common, b["local_tri"])
+            self.stats.record_dispatch(time.perf_counter() - t0)
+            return rgba8, aux
         if st.pipeline == "fused":
             # per-stage jits: the monolithic fused graph exceeds practical
             # XLA compile times at 1M-triangle shapes (pipeline.py)

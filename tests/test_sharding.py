@@ -231,3 +231,59 @@ def test_sharded_fused_matches_single_device(n_dev):
         np.asarray(aux["clip_overflow"])
     )
     np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+# ---------------------------------------------------------------------------
+# Renderer facade multi-chip path: Renderer(scene, settings, mesh=...) /
+# RendererSettings.n_devices must route through the sharded pipelines with
+# no direct parallel/ imports by the user, bit-equal to single-device.
+# ---------------------------------------------------------------------------
+
+
+def test_renderer_mesh_facade_classic():
+    import dataclasses
+
+    from ash_renderer_tpu import Renderer
+
+    mesh = make_render_mesh(jax.devices()[:2])
+    scene = _scene()
+    settings = RendererSettings(
+        width=128, height=64, clip_budget=128, max_pairs=1 << 14,
+        pipeline="classic",
+    )
+    cam = Camera()
+    r_multi = Renderer(scene, settings, mesh=mesh)
+    assert r_multi.warmup(parallel=False) >= 0.0
+    rgba_m, aux_m = r_multi.render_frame(cam)
+    assert int(np.asarray(aux_m["pairs_overflow"])) == 0
+    rgba_s, _ = Renderer(scene, settings).render_frame(cam)
+    np.testing.assert_array_equal(np.asarray(rgba_m), np.asarray(rgba_s))
+
+
+def test_renderer_n_devices_facade_fused():
+    import dataclasses
+
+    from ash_renderer_tpu import Renderer
+
+    scene = _scene()
+    settings = RendererSettings(
+        width=128, height=64, clip_budget=128, max_pairs=1 << 14,
+        pipeline="fused", n_devices=2,
+    )
+    cam = Camera()
+    rgba_m, aux_m = Renderer(scene, settings).render_frame(cam)
+    assert int(np.asarray(aux_m["clip_overflow"])) == 0
+    single = dataclasses.replace(settings, n_devices=None)
+    rgba_s, _ = Renderer(scene, single).render_frame(cam)
+    np.testing.assert_array_equal(np.asarray(rgba_m), np.asarray(rgba_s))
+
+
+def test_renderer_mesh_height_validation():
+    from ash_renderer_tpu import Renderer
+
+    scene = _scene()
+    settings = RendererSettings(
+        width=128, height=48, pipeline="classic", n_devices=2
+    )  # grid_h = 3, not divisible by 2
+    with pytest.raises(ValueError, match="not divisible"):
+        Renderer(scene, settings)
