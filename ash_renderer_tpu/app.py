@@ -52,6 +52,17 @@ class App:
         self.renderer = Renderer(scene, settings)
         self.camera = camera or Camera()
         self.controller = CameraController(speed=speed, mouse_sens=mouse_sens)
+        # the "window" extent: mutated by resize events (request_resize);
+        # draw_frame notices the mismatch and self-recovers, like the
+        # reference's OUT_OF_DATE swapchain path (renderer.rs:416-428)
+        st = self.renderer.settings
+        self.extent = (st.width, st.height)
+
+    def request_resize(self, width: int, height: int):
+        """Window-resize event (winit WindowEvent::Resized analogue): only
+        records the new extent — the running loop recovers by itself on the
+        next draw_frame, no explicit renderer.resize() call needed."""
+        self.extent = (int(width), int(height))
 
     def step(self, event: Optional[InputEvent] = None, on_present=None):
         """One loop iteration: apply input, update camera, draw."""
@@ -63,7 +74,9 @@ class App:
             c.right_pressed = event.right
             c.process_mouse(event.mouse_dx, event.mouse_dy)
         self.controller.update_camera(self.camera)
-        return self.renderer.draw_frame(self.camera, on_present=on_present)
+        return self.renderer.draw_frame(
+            self.camera, on_present=on_present, extent=self.extent
+        )
 
     def run(
         self,

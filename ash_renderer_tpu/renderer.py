@@ -537,10 +537,23 @@ class Renderer:
         self.stats.record_dispatch(time.perf_counter() - t0)
         return rgba8, aux
 
-    def draw_frame(self, camera: Camera, model_mats=None, on_present=None):
+    def draw_frame(self, camera: Camera, model_mats=None, on_present=None,
+                   extent=None):
         """Frame-loop step: render + submit to the present ring.  Returns the
-        host RGBA8 of a frame completed frames_in_flight ago (or None)."""
+        host RGBA8 of a frame completed frames_in_flight ago (or None).
+
+        extent: the present target's current (width, height), when the
+        caller has one (App passes its window extent).  If it no longer
+        matches the built framebuffers, the renderer rebuilds its
+        resize-dependent tier HERE, without caller help — the reference's
+        in-draw OUT_OF_DATE/SUBOPTIMAL swapchain recovery
+        (renderer.rs:416-428, 587-596)."""
         t0 = time.perf_counter()
+        if extent is not None and tuple(extent) != (
+            self.settings.width,
+            self.settings.height,
+        ):
+            self.resize(*extent)
         rgba8, aux = self.render_frame(camera, model_mats)
         presented = self.ring.push(rgba8, on_present)
         self.stats.record_frame(time.perf_counter() - t0, aux)

@@ -100,3 +100,25 @@ def test_cli_smoke(tmp_path):
     out = os.path.join(str(tmp_path), "frames")
     main(["reference", "--size", "64x48", "--out", out])
     assert os.path.exists(os.path.join(out, "frame_0000.png"))
+
+
+def test_app_self_recovering_resize():
+    """A resize event under a running loop recovers inside draw_frame —
+    the OUT_OF_DATE/SUBOPTIMAL self-recovery (renderer.rs:416-428): no
+    explicit renderer.resize() call anywhere."""
+    from ash_renderer_tpu.present import FrameCollector
+
+    app = App(
+        reference_two_triangle_scene(),
+        RendererSettings(width=96, height=64, clip_budget=64,
+                         frames_in_flight=1),
+    )
+    coll = FrameCollector()
+    app.step(on_present=coll)
+    app.request_resize(128, 80)  # window event; loop keeps running
+    app.step(on_present=coll)
+    app.renderer.finish()
+    assert app.renderer.settings.width == 128
+    assert app.renderer.settings.height == 80
+    shapes = [f.shape for f in coll.frames]
+    assert (64, 96, 4) in shapes and (80, 128, 4) in shapes
