@@ -141,23 +141,30 @@ def stream_keys_from_aabb(valid, extx, exty, cfg: RasterConfig,
     )
 
 
-def sort_and_bounds(key, cfg: RasterConfig, tile_rows: int | None = None):
+def sort_and_bounds(key, cfg: RasterConfig, tile_rows: int | None = None,
+                    interpret: bool = False):
     """Sort rows by streaming key; returns (order, bounds) as bin_sort."""
+    from .bincount import sorted_run_bounds
+
     s_rows = key.shape[0]
     if tile_rows is None:
         tile_rows = cfg.grid_h
     n_tiles = tile_rows * cfg.grid_w
     order = jnp.arange(s_rows, dtype=I32)
     key_sorted, order = jax.lax.sort_key_val(key, order)
-    # run starts for every (tile, group) key + wide + dead + end sentinel
-    qkeys = jnp.arange(n_tiles * N_GRP + 2, dtype=I32)
-    starts = jnp.searchsorted(key_sorted, qkeys, side="left").astype(I32)
+    # run starts for every (tile, group) key + wide + dead + end sentinel:
+    # the Pallas counting kernel (ops/bincount.py) — the searchsorted scan
+    # it replaces cost ~0.41 us/query (2.4 ms at the headline's 8.2k bins)
+    starts = sorted_run_bounds(
+        key_sorted, n_tiles * N_GRP + 2, interpret=interpret
+    )
     bounds = jnp.concatenate([starts, jnp.array([s_rows], I32)])
     return order, bounds
 
 
 def bin_sort(su: TriangleSetup, cfg: RasterConfig,
-             tile_row0: int = 0, tile_rows: int | None = None):
+             tile_row0: int = 0, tile_rows: int | None = None,
+             interpret: bool = False):
     """Returns (order, bounds) for the tile-row window
     [tile_row0, tile_row0 + tile_rows):
 
@@ -170,7 +177,7 @@ def bin_sort(su: TriangleSetup, cfg: RasterConfig,
         su.valid, su.x0, su.y0, su.x1, su.y1, su.x2, su.y2, cfg,
         tile_row0, tile_rows,
     )
-    return sort_and_bounds(key, cfg, tile_rows)
+    return sort_and_bounds(key, cfg, tile_rows, interpret=interpret)
 
 
 def expand_wide_pairs(comb, order, bounds, cfg: RasterConfig,

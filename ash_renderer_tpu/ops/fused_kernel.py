@@ -71,6 +71,9 @@ TILE_W = 128
 N_PIX = TILE_H * TILE_W
 COMB_USED = 48  # distributed table cols consumed by phase E (0-47)
 OUT_COLS = 24  # phase E output planes: 12 attrs, 4 uv-deriv raws, mat, pad
+PLANE_ROWS = 64  # distribute accumulator rows (COMB_USED=48 consumed,
+                 # rounded to the 8x(8,128) vreg tile; was TBL_COLS=128 —
+                 # the extra 64 rows cost a full zero-fill + matmul pass)
 
 
 def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0,
@@ -163,7 +166,8 @@ def _kernel(
     cfg: RasterConfig,
     gw: int,
     n_tiles: int,
-    phases: str = "vd",
+    phases: str = "vde",
+    seg: int = TILE_W,
 ):
     t = pl.program_id(0)
     tile_x = t % gw
@@ -176,8 +180,15 @@ def _kernel(
     sx0 = (tile_x * TILE_W) * ss + half  # tile-corner pixel sample coords
     sy0 = ((row0 + tile_y) * TILE_H) * ss + half
 
+    if phases == "z":  # probe mode: the structural floor — grid loop +
+        # output-block DMAs only, zero compute/streaming
+        vis_d_ref[:] = jnp.zeros((TILE_H, TILE_W), I32)
+        vis_t_ref[:] = jnp.zeros((TILE_H, TILE_W), I32)
+        planes_ref[0, :, :] = jnp.zeros((OUT_COLS, N_PIX), I32)
+        return
+
     colp = jax.lax.broadcasted_iota(I32, (1, TILE_W), 1)
-    subl = jax.lax.broadcasted_iota(I32, (TILE_W, 1), 0)
+    subl = jax.lax.broadcasted_iota(I32, (seg, 1), 0)
 
     def range_scalars(i):
         b = (t * N_RANGES + i) * RMETA_COLS
@@ -191,12 +202,12 @@ def _kernel(
     # ~10 ms/phase at the headline's ~5.6k segments).
     def start_seg(i, ab):
         pltpu.make_async_copy(
-            tbl_ref.at[pl.ds(ab, TILE_W), :], tbl_bufs.at[i], sems.at[i]
+            tbl_ref.at[pl.ds(ab, seg), :], tbl_bufs.at[i], sems.at[i]
         ).start()
 
     def wait_seg(i, ab):
         pltpu.make_async_copy(
-            tbl_ref.at[pl.ds(ab, TILE_W), :], tbl_bufs.at[i], sems.at[i]
+            tbl_ref.at[pl.ds(ab, seg), :], tbl_bufs.at[i], sems.at[i]
         ).wait()
 
     rr = [range_scalars(i) for i in range(N_RANGES)]
@@ -205,7 +216,7 @@ def _kernel(
     # segments/phase for 3618 nonempty ranges at the headline)
     ab0s = [pl.multiple_of((rs // 8) * 8, 8) for rs, _ in rr]
     nsws = [
-        jnp.where(re > rs, -(-(re - ab0) // TILE_W), 0)
+        jnp.where(re > rs, -(-(re - ab0) // seg), 0)
         for (rs, re), ab0 in zip(rr, ab0s)
     ]
 
@@ -277,7 +288,7 @@ def _kernel(
         nsw = nsws[rng_i]
 
         def sw_body(w, acc, i=rng_i, rs=rs, re=re, ab0=ab0, nsw=nsw):
-            ab = pl.multiple_of(ab0 + w * TILE_W, 8)
+            ab = pl.multiple_of(ab0 + w * seg, 8)
             wait_seg(i, ab)
             blk = tbl_bufs[i]
             vcol = (subl >= rs - ab) & (subl < re - ab)
@@ -289,10 +300,10 @@ def _kernel(
             # the block now lives in recs_s — overlap the next window's DMA
             @pl.when(w + 1 < nsw)
             def _():
-                start_seg(i, pl.multiple_of(ab + TILE_W, 8))
+                start_seg(i, pl.multiple_of(ab + seg, 8))
 
             g0 = jnp.maximum(rs - ab, 0) // GRP_T
-            ng = -(-jnp.minimum(re - ab, TILE_W) // GRP_T)
+            ng = -(-jnp.minimum(re - ab, seg) // GRP_T)
 
             def grp_body(g, acc):
                 off = pl.multiple_of(GRP_T * g, GRP_T)
@@ -317,7 +328,7 @@ def _kernel(
         flat_s[0:1, TILE_W * r : TILE_W * (r + 1)] = acc_t[r]
     flatv = flat_s[:]  # (1, 1024) winner tri ids
 
-    zero_p = jnp.zeros((TILE_W, N_PIX), I32)
+    zero_p = jnp.zeros((PLANE_ROWS, N_PIX), I32)
     out_p0[...] = zero_p
     out_p1[...] = zero_p
     out_p2[...] = zero_p
@@ -333,13 +344,13 @@ def _kernel(
         nsw = nsws[rng_i]
 
         def swd_body(w, _, i=rng_i, rs=rs, re=re, ab0=ab0, nsw=nsw):
-            ab = pl.multiple_of(ab0 + w * TILE_W, 8)
+            ab = pl.multiple_of(ab0 + w * seg, 8)
             wait_seg(i, ab)
             work_blk[...] = tbl_bufs[i]
 
             @pl.when(w + 1 < nsw)
             def _():
-                start_seg(i, pl.multiple_of(ab + TILE_W, 8))
+                start_seg(i, pl.multiple_of(ab + seg, 8))
 
             blk = work_blk[:]
             vcol = (subl >= rs - ab) & (subl < re - ab)
@@ -360,7 +371,9 @@ def _kernel(
                     (out_p2, 2),
                     (out_p3, 3),
                 ):
-                    bk = ((blk >> (8 * k)) & 255).astype(I8)  # (128, 128)
+                    bk = (
+                    (blk[:, 0:PLANE_ROWS] >> (8 * k)) & 255
+                ).astype(I8)  # (seg, 64)
                     # (cols, pixels): table columns in SUBLANES so the
                     # planes output needs no 48->128 lane pad (the pixel-
                     # minor layout padded 2.67x -> ~1 GB of HBM writes)
@@ -380,6 +393,10 @@ def _kernel(
     )  # (48 cols, 1024 px) distributed winner fields
 
     # ---------------- Phase E: interpolation ----------------
+    if "e" not in phases:  # probe mode: keep output shape, skip the work
+        planes_ref[0, :, :] = jnp.zeros((OUT_COLS, N_PIX), I32)
+        return
+
     # The interpolation half of shading runs here on the VMEM-resident
     # field rows ((1, 1024) lane vectors) via the SAME ops/shade.
     # interp_fields the XLA/oracle path uses — bit-identical by
@@ -432,7 +449,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret", "tile_rows", "phases")
+    jax.jit,
+    static_argnames=("cfg", "interpret", "tile_rows", "phases", "seg"),
 )
 def rasterize_distribute(
     rmeta,
@@ -440,7 +458,8 @@ def rasterize_distribute(
     cfg: RasterConfig,
     interpret: bool = False,
     tile_rows: int | None = None,
-    phases: str = "vd",
+    phases: str = "vde",
+    seg: int = TILE_W,
 ):
     """Run the fused kernel over the tile grid.
 
@@ -455,6 +474,10 @@ def rasterize_distribute(
     """
     assert cfg.tile_h == TILE_H and cfg.tile_w == TILE_W
     assert tbl_sorted.shape[1] == TBL_COLS
+    # windows stay in bounds iff the table carries >= seg pad slots past
+    # the last real row (tritables.sorted_table pad_rows); window starts
+    # are 8-aligned by construction, the table length need not be
+    assert seg % 8 == 0
     full = tile_rows is None
     if full:
         tile_rows = cfg.grid_h
@@ -482,20 +505,21 @@ def rasterize_distribute(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(block, block, planes_block),
         scratch_shapes=[
-            pltpu.VMEM((N_RANGES, TILE_W, TBL_COLS), I32),
-            pltpu.VMEM((TILE_W, TBL_COLS), I32),
-            pltpu.VMEM((TILE_W, 8), I32),
+            pltpu.VMEM((N_RANGES, seg, TBL_COLS), I32),
+            pltpu.VMEM((seg, TBL_COLS), I32),
+            pltpu.VMEM((seg, 8), I32),
             pltpu.VMEM((1, N_PIX), I32),
-            pltpu.VMEM((TILE_W, N_PIX), I32),
-            pltpu.VMEM((TILE_W, N_PIX), I32),
-            pltpu.VMEM((TILE_W, N_PIX), I32),
-            pltpu.VMEM((TILE_W, N_PIX), I32),
+            pltpu.VMEM((PLANE_ROWS, N_PIX), I32),
+            pltpu.VMEM((PLANE_ROWS, N_PIX), I32),
+            pltpu.VMEM((PLANE_ROWS, N_PIX), I32),
+            pltpu.VMEM((PLANE_ROWS, N_PIX), I32),
             pltpu.SemaphoreType.DMA((N_RANGES,)),
         ],
     )
     vis_d, vis_t, planes = pl.pallas_call(
         functools.partial(
-            _kernel, cfg=cfg, gw=gw, n_tiles=n_tiles, phases=phases
+            _kernel, cfg=cfg, gw=gw, n_tiles=n_tiles, phases=phases,
+            seg=seg,
         ),
         out_shape=out_shape,
         grid_spec=grid_spec,

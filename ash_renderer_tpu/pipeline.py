@@ -347,7 +347,9 @@ def sort_expand_table(statics, comb, keys, tile_row0=0,
     cfg = statics.cfg
     st = statics.settings
     n_tiles = (cfg.grid_h if tile_rows is None else tile_rows) * cfg.grid_w
-    order, bounds = binsort.sort_and_bounds(keys, cfg, tile_rows)
+    order, bounds = binsort.sort_and_bounds(
+        keys, cfg, tile_rows, interpret=statics.interpret
+    )
     pair_rows, pair_starts, new_ws = binsort.expand_wide_pairs(
         comb, order, bounds, cfg, st.wide_rows, st.wide_pairs,
         tile_row0, tile_rows,

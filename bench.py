@@ -236,6 +236,17 @@ def main():
     ):
         res = headline_hash_gate(rgba8, args.subdiv)
         hash_ok = res is not False
+        try:  # keep the gallery's headline render current
+            from PIL import Image
+
+            gal = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "docs", "gallery", "config4_million_tri.png",
+            )
+            Image.fromarray(np.asarray(rgba8)).save(gal)
+            log(f"gallery render saved: {gal}")
+        except Exception as e:  # PIL absent / fs read-only: non-fatal
+            log(f"gallery save skipped: {e!r}")
 
     # steady-state timing (static camera)
     nf = args.frames

@@ -14,7 +14,10 @@ import jax.numpy as jnp
 
 
 def force(x):
-    return [np.asarray(l.ravel()[:1]) for l in jax.tree.leaves(x)]
+    # ONE leaf only: every host readback is a full round trip through the
+    # remote tunnel (~4-30 ms, experiments/process_state_probe.py) — a
+    # per-leaf force contaminates timings by n_leaves x that
+    return np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
 
 
 def timeit(fn, *args, reps=8):
@@ -59,7 +62,7 @@ def main():
     comb, keys_tail, _ = plmod._fstage_tail(
         r.statics, tblT, b["tri_v"], b["tri_mat"], flags, comb
     )
-    rmeta, tbl = plmod._fstage_sort(statics, comb, keys_main, keys_tail)
+    rmeta, tbl = plmod._fstage_sort(r.statics, comb, keys_main, keys_tail)
     force((rmeta, tbl))
 
     # segment stats
@@ -69,9 +72,24 @@ def main():
     print(f"ranges: {(lens>0).sum()} nonempty / {len(lens)}, "
           f"slots: {lens.sum()}, segments/phase: {segs}", flush=True)
 
-    for ph in ("vd", "v", "d"):
-        fn = jax.jit(lambda rm_, tb_, ph=ph: fused_kernel.rasterize_distribute(
-            rm_, tb_, cfg, phases=ph))
+    rm_zero = jnp.zeros_like(rmeta)
+    tbl_zero = jnp.zeros_like(tbl)
+    fnz = jax.jit(
+        lambda rm_, tb_: fused_kernel.rasterize_distribute(
+            rm_, tb_, cfg, phases="z"
+        )
+    )
+    for rlab, rm_ in (("real", rmeta), ("zero", rm_zero)):
+        for tlab, tb_ in (("real", tbl), ("zero", tbl_zero)):
+            dt, _ = timeit(fnz, rm_, tb_)
+            print(f"z rmeta={rlab} tbl={tlab}: {dt*1000:.1f} ms",
+                  flush=True)
+    for ph in ("", "e", "vde"):
+        fn = jax.jit(
+            lambda rm_, tb_, ph=ph: fused_kernel.rasterize_distribute(
+                rm_, tb_, cfg, phases=ph
+            )
+        )
         dt, _ = timeit(fn, rmeta, tbl)
         print(f"phases={ph}: {dt*1000:.1f} ms", flush=True)
 

@@ -72,7 +72,7 @@ def _aabb_tiles(su, cfg):
 @pytest.mark.parametrize("seed,spread", [(7, 2.0), (8, 0.4), (9, 6.0)])
 def test_binsort_streams_cover_all_overlaps(seed, spread):
     su, _, cfg = _setup(seed=seed, spread=spread)
-    order, bounds = binsort.bin_sort(su, cfg)
+    order, bounds = binsort.bin_sort(su, cfg, interpret=True)
     order = np.asarray(order)
     bounds = np.asarray(bounds)
     want = _aabb_tiles(su, cfg)
@@ -93,6 +93,33 @@ def test_binsort_streams_cover_all_overlaps(seed, spread):
         assert t in streamed[tile], (
             f"overlap (tri {t}, tile {tile}) not streamed"
         )
+
+
+@pytest.mark.parametrize("seed,s,nbins", [
+    (0, 1_000, 130),       # single block, sparse bins
+    (1, 5_000, 34),        # dense bins, multi-block
+    (2, 4_096, 2_050),     # exact block multiple
+    (3, 17, 3_000),        # tiny input, huge bin space
+    (4, 9_000, 9_000),     # bins ~ keys
+])
+def test_sorted_run_bounds_matches_searchsorted(seed, s, nbins):
+    """The Pallas counting kernel is bit-equal to searchsorted over every
+    block/ownership edge case (empty bins, bins past the max key, dead-key
+    padding, blocks owning nothing)."""
+    from ash_renderer_tpu.ops.bincount import sorted_run_bounds
+
+    rng = np.random.default_rng(seed)
+    keys = np.sort(rng.integers(0, nbins, s).astype(np.int32))
+    if seed == 1:  # long constant runs: blocks that own nothing
+        keys[: s // 2] = 7
+        keys = np.sort(keys)
+    got = np.asarray(
+        sorted_run_bounds(jnp.asarray(keys), nbins, interpret=True)
+    )
+    want = np.searchsorted(keys, np.arange(nbins), side="left").astype(
+        np.int32
+    )
+    np.testing.assert_array_equal(got, want)
 
 
 def _frame_args(scene, settings, cam, has_mats=False, has_atlas=False,
