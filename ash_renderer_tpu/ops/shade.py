@@ -196,6 +196,63 @@ def interp_fields(xp, g, a0, a1, a2, px, py, cfg):
     return attr, (durx, dvrx, dury, dvry)
 
 
+def interp_fields_stacked(xp, g, A0, A1, A2, px, py, cfg):
+    """interp_fields with the 12 attribute channels STACKED along a
+    leading axis ((12, N) per corner instead of 12 separate (1, N)
+    rows).  The per-channel dot3 becomes one broadcast dot3 over the
+    channel axis — the same f32 ops per element in the same order, so
+    the result is bit-identical; the stacked form exists for layouts
+    where (1, N) rows waste 7/8 sublanes (the fused kernel's phase E,
+    where A0/A1/A2 are contiguous (12, 1024) slices of the distributed
+    field planes).  Returns (attr (12, N), (durx, dvrx, dury, dvry))."""
+    (e0, e1, e2), (a0c, a1c, a2c) = _edges_at_pixels(g, px, py, cfg, xp)
+    l0, l1, l2 = sm.bary_weights(e0, e1, e2, g["inv_area2"], xp)
+    m0, m1, m2 = sm.persp_weights(
+        l0, l1, l2, g["iw0"], g["iw1"], g["iw2"], xp
+    )
+    attr = sm.dot3(m0, A0, m1, A1, m2, A2)  # (12, N), broadcast over ch
+
+    scale = F32(cfg.subpixel_scale)
+    x0, y0 = g["x0"], g["y0"]
+    x1, y1 = g["x1"], g["y1"]
+    x2, y2 = g["x2"], g["y2"]
+    b0 = x2 - x1
+    b1 = x0 - x2
+    b2 = x1 - x0
+    inv_area = g["inv_area2"]
+    dp = []
+    for (ea, eb), iw in (
+        ((a0c, b0), g["iw0"]),
+        ((a1c, b1), g["iw1"]),
+        ((a2c, b2), g["iw2"]),
+    ):
+        gx = ea.astype(F32) * scale * inv_area * iw
+        gy = eb.astype(F32) * scale * inv_area * iw
+        dp.append((gx, gy))
+    p0 = e0.astype(F32) * inv_area * g["iw0"]
+    p1 = e1.astype(F32) * inv_area * g["iw1"]
+    p2 = e2.astype(F32) * inv_area * g["iw2"]
+    s = (p0 + p1) + p2
+    inv_s = sm.recip_spec(s, xp)
+    u0, v0c = A0[7:8], A0[8:9]
+    u1, v1c = A1[7:8], A1[8:9]
+    u2, v2c = A2[7:8], A2[8:9]
+    u, v = attr[7:8], attr[8:9]
+
+    def raws(axis):
+        dsx = sm.dot3(
+            dp[0][axis], F32(1.0), dp[1][axis], F32(1.0), dp[2][axis],
+            F32(1.0),
+        )
+        dux = sm.dot3(dp[0][axis], u0, dp[1][axis], u1, dp[2][axis], u2)
+        dvx = sm.dot3(dp[0][axis], v0c, dp[1][axis], v1c, dp[2][axis], v2c)
+        return (dux - u * dsx) * inv_s, (dvx - v * dsx) * inv_s
+
+    durx, dvrx = raws(0)
+    dury, dvry = raws(1)
+    return attr, (durx, dvrx, dury, dvry)
+
+
 _PACK_FIELDS = "x0 y0 x1 y1 x2 y2 inv_area2 iw0 iw1 iw2 v0 v1 v2 mat".split()
 _PACK_FLOAT = {"inv_area2", "iw0", "iw1", "iw2"}
 

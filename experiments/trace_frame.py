@@ -52,24 +52,32 @@ def main():
     assert files, "no trace written"
     with gzip.open(files[0], "rt") as f:
         tr = json.load(f)
-    # device-side complete events, grouped by op name
-    by_name = defaultdict(float)
+    # device-side complete events, grouped by (thread track, op name):
+    # the TPU profiler emits separate "XLA Modules" (whole-executable
+    # spans — the per-stage ground truth) and "XLA Ops" (per-fusion)
+    # tracks; summing them together double-counts
     pid_names = {}
+    tid_names = {}
     for ev in tr["traceEvents"]:
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             pid_names[ev["pid"]] = ev["args"].get("name", "")
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev["tid"])] = ev["args"].get("name", "")
+    tracks = defaultdict(lambda: defaultdict(float))
     for ev in tr["traceEvents"]:
         if ev.get("ph") != "X":
             continue
         pname = pid_names.get(ev.get("pid"), "")
         if "TPU" not in pname and "/device" not in pname.lower():
             continue
-        # XLA op track only (skip the step/launch tracks)
-        tname = ev.get("name", "")
-        dur = ev.get("dur", 0)
-        by_name[tname] += dur
-    total = sum(by_name.values())
-    print(f"total device us (2 frames): {total:.0f}")
+        tname = tid_names.get((ev.get("pid"), ev.get("tid")), "?")
+        tracks[tname][ev.get("name", "")] += ev.get("dur", 0)
+    for tname, by_name in sorted(tracks.items()):
+        total = sum(by_name.values())
+        print(f"--- track '{tname}': total {total/1000:.1f} ms (2 frames)")
+        for nm, us in sorted(by_name.items(), key=lambda kv: -kv[1])[:14]:
+            print(f"    {us/1000/2:8.2f} ms/frame  {nm[:68]}")
+    by_name = tracks[max(tracks, key=lambda t: sum(tracks[t].values()))]
 
     # Attribute op names to source lines via the compiled HLO text.
     # (Skipped for the staged fused pipeline: its modules are the stage
