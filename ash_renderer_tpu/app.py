@@ -48,8 +48,17 @@ class App:
         camera: Optional[Camera] = None,
         speed: float = 0.01,
         mouse_sens: float = 0.01,
+        warmup: bool = True,
     ):
         self.renderer = Renderer(scene, settings)
+        if warmup and self.renderer.device.platform == "tpu":
+            # overlap the per-stage XLA compiles before the first frame
+            # (threads; ~sum -> ~max wall time) so the interactive loop
+            # starts as fast as this device allows.  TPU-only: on the
+            # CPU/interpret fallback the precompile costs more than the
+            # first frame it would hide.  warmup=False for callers that
+            # render exactly one frame anyway.
+            self.renderer.warmup()
         self.camera = camera or Camera()
         self.controller = CameraController(speed=speed, mouse_sens=mouse_sens)
         # the "window" extent: mutated by resize events (request_resize);

@@ -33,6 +33,22 @@ def test_app_step_loop():
     assert app.camera.theta == pytest.approx(0.05)
 
 
+def test_app_warmup_default_is_tpu_only(monkeypatch):
+    """App precompiles stages by default, but ONLY on a real TPU device:
+    on the CPU/interpret fallback the warmup costs more than the first
+    frame it would hide (this suite runs on CPU — warmup must not run)."""
+    from ash_renderer_tpu.renderer import Renderer
+
+    def boom(self, parallel=True):  # pragma: no cover - must not be hit
+        raise AssertionError("warmup() ran on a non-TPU device")
+
+    monkeypatch.setattr(Renderer, "warmup", boom)
+    App(
+        reference_two_triangle_scene(),
+        RendererSettings(width=96, height=64, clip_budget=64),
+    )  # default warmup=True, CPU backend -> gate must skip it
+
+
 def test_render_to_images(tmp_path):
     paths = render_to_images(
         reference_two_triangle_scene(),
