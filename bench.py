@@ -158,7 +158,10 @@ def flyby_path(n_frames: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=20)
+    # 50 frames: the single end-of-loop readback costs ~30 ms through the
+    # remote tunnel (experiments/process_state_probe.py); amortizing it
+    # over 50 frames biases the per-frame number by ~0.6 ms vs ~1.6 at 20
+    ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--config", default="config4_million_tri",
                     help="benchmark config name (see ash_renderer_tpu."
                          "benchmarks.ALL_CONFIGS)")
