@@ -75,7 +75,8 @@ class RendererSettings:
     pipeline: str = "auto"
     # Multi-chip rendering: render over the first n jax devices as a 1-D
     # framebuffer-row mesh (parallel/sharding.py); None = single device.
-    # Requires grid_h (render_height / tile_h) divisible by n_devices.
+    # Any resolution works: an indivisible tile-row count is padded up
+    # inside the sharded path and the frame cropped back.
     # The frame comes back bit-identical to single-device rendering
     # (tests/test_sharding.py); an explicit ``mesh=`` argument to Renderer
     # overrides this knob.

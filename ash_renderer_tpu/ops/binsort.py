@@ -247,7 +247,13 @@ def expand_wide_pairs(comb, order, bounds, cfg: RasterConfig,
         ntx = tx1 - tx0 + 1
         c = jnp.where(live_r, ntx * (ty1 - ty0 + 1), 0)
         ends = jnp.cumsum(c)
-        fits = (ends <= wide_pairs) & live_r
+        # positional cut: a row is CONSUMED when its pair run fits the
+        # budget, gated on live_row (position), not live_r (recomputed
+        # liveness) — dead-recomputed rows inside the prefix are consumed
+        # as 0-pair rows, so the wide-run cut (ws + n_fit) can never split
+        # around them and leave a consumed row in the global run (which
+        # phase D would then accumulate twice)
+        fits = (ends <= wide_pairs) & live_row
         n_fit = jnp.sum(fits.astype(I32))
         total_fit = jnp.sum(jnp.where(fits, c, 0))
 

@@ -45,16 +45,20 @@ def make_render_mesh(devices=None) -> Mesh:
 
 def _slab_pipeline(
     statics,
-    n_dev: int,
+    rows_per: int,
     positions, vert_obj, normals, colors, uvs,
     tri_v, tri_obj, obj_material,
     model_mats, mvp_mats, camera_pos,
     materials, atlas, light, local_tri,
 ):
-    """Per-device body (runs under shard_map): renders this device's slab."""
+    """Per-device body (runs under shard_map): renders this device's slab.
+
+    rows_per: tile rows per slab = ceil(grid_h / n_dev) — when grid_h is
+    not divisible the last slab(s) extend past the screen; their windowed
+    binning keys are all dead (py_lo > py_hi) so they render background,
+    and the wrapper crops the assembled frame back to the display height."""
     cfg = statics.cfg
     st = statics.settings
-    rows_per = cfg.grid_h // n_dev
     dev = jax.lax.axis_index("rows")
     tile_row0 = dev * rows_per
 
@@ -103,7 +107,7 @@ def _slab_pipeline(
 
 def _slab_pipeline_fused(
     statics,
-    n_dev: int,
+    rows_per: int,
     positions, vert_obj, normals, colors, uvs,
     tri_v, tri_obj, obj_material,
     model_mats, mvp_mats, camera_pos,
@@ -113,14 +117,14 @@ def _slab_pipeline_fused(
     replicated; each device derives window-local streaming keys from the
     setup kernel's packed pixel-AABB extents, sorts its own slab's order,
     and runs the raster/distribute kernel + tile-flat shading on its tile
-    rows.  No communication until the row-sharded frame assembly."""
+    rows.  No communication until the row-sharded frame assembly.
+    rows_per = ceil(grid_h / n_dev); see _slab_pipeline on padding."""
     from .. import pipeline as plmod
     from ..ops import binsort, fused_kernel, setup_kernel, tritables
     from ..ops.geometry import MAX_CLIP_TRIS
 
     cfg = statics.cfg
     st = statics.settings
-    rows_per = cfg.grid_h // n_dev
     dev = jax.lax.axis_index("rows")
     tile_row0 = dev * rows_per
 
@@ -174,16 +178,16 @@ def render_frame_sharded_fused(
     clip-budget overflow."""
     n_dev = mesh.devices.size
     cfg = statics.cfg
-    if cfg.grid_h % n_dev:
-        raise ValueError(
-            f"grid_h {cfg.grid_h} not divisible by {n_dev} devices"
-        )
-    slab_disp_rows = cfg.grid_h // n_dev * cfg.tile_h
+    # indivisible grid_h (e.g. 1920x1080 -> grid_h 135 on 8 devices): pad
+    # the tile-row decomposition up — past-the-screen slab rows bin nothing
+    # and render background; the assembled frame is cropped below
+    rows_per = -(-cfg.grid_h // n_dev)
+    slab_disp_rows = rows_per * cfg.tile_h
     if slab_disp_rows % statics.settings.supersample:
         raise ValueError("slab rows not divisible by supersample factor")
     assert ltT is not None and matT is not None and tri_mat is not None
 
-    body = functools.partial(_slab_pipeline_fused, statics, n_dev)
+    body = functools.partial(_slab_pipeline_fused, statics, rows_per)
     spec_repl = P()
     fn = jax.shard_map(
         body,
@@ -198,6 +202,8 @@ def render_frame_sharded_fused(
         model_mats, mvp_mats, camera_pos,
         materials, atlas, light, tri_mat, ltT, matT,
     )
+    # crop padded past-the-screen slab rows (background by construction)
+    rgba8 = rgba8[: statics.settings.height]
     return rgba8, {"clip_overflow": overflow}
 
 
@@ -214,20 +220,18 @@ def render_frame_sharded(
     Returns (rgba8, stats) with stats["pairs_overflow"] = the worst per-slab
     pair-budget overflow (0 means no triangles were dropped anywhere).
 
-    Requires cfg.grid_h % n_devices == 0 and the display height divisible by
-    n_devices * tile_h * supersample (pad the resolution otherwise).
+    Indivisible grid_h is padded up (past-the-screen slab rows render
+    background and are cropped from the assembled frame), so ANY
+    resolution works on any device count.
     """
     n_dev = mesh.devices.size
     cfg = statics.cfg
-    if cfg.grid_h % n_dev:
-        raise ValueError(
-            f"grid_h {cfg.grid_h} not divisible by {n_dev} devices"
-        )
-    slab_disp_rows = cfg.grid_h // n_dev * cfg.tile_h
+    rows_per = -(-cfg.grid_h // n_dev)
+    slab_disp_rows = rows_per * cfg.tile_h
     if slab_disp_rows % statics.settings.supersample:
         raise ValueError("slab rows not divisible by supersample factor")
 
-    body = functools.partial(_slab_pipeline, statics, n_dev)
+    body = functools.partial(_slab_pipeline, statics, rows_per)
     spec_repl = P()
     fn = jax.shard_map(
         body,
@@ -242,4 +246,5 @@ def render_frame_sharded(
         model_mats, mvp_mats, camera_pos,
         materials, atlas, light, local_tri,
     )
+    rgba8 = rgba8[: statics.settings.height]
     return rgba8, {"pairs_overflow": overflow}

@@ -220,14 +220,9 @@ class Renderer:
         )
         self._sharded_fn = None
         if self.mesh is not None:
-            n_dev = self.mesh.devices.size
-            if self.cfg.grid_h % n_dev:
-                raise ValueError(
-                    f"render_height {st.render_height} gives grid_h "
-                    f"{self.cfg.grid_h}, not divisible by {n_dev} devices "
-                    f"(pad the height to a multiple of "
-                    f"{n_dev * self.cfg.tile_h * st.supersample})"
-                )
+            # any resolution works on any device count: the sharded path
+            # pads the tile-row decomposition up and crops (sharding.py),
+            # so resize (incl. the in-draw self-recovery) never hard-fails
             from .parallel import (
                 render_frame_sharded,
                 render_frame_sharded_fused,
@@ -326,6 +321,15 @@ class Renderer:
                     else None,
                 )
             self._sharded_fn.lower(*common, *tail).compile()
+            # The AOT compile above populates the persistent compilation
+            # cache but NOT the jit call cache (that is keyed by actual
+            # calls), so the first real frame would still pay a trace +
+            # (cached) compile.  Run one real frame through the exact
+            # render_frame path to warm the call cache end to end.
+            from .camera import Camera as _Cam
+
+            rgba8, _ = self.render_frame(_Cam())
+            jax.block_until_ready(rgba8)
             return _time.perf_counter() - t0
         sds = jax.ShapeDtypeStruct
         f32, i32 = np.float32, np.int32

@@ -42,7 +42,12 @@ class FrameStats:
             return 0.0
         return len(self.frame_times) / max(sum(self.frame_times), 1e-9)
 
-    def summary(self) -> dict:
+    def summary(self, sync: bool = False) -> dict:
+        """Async-safe stats snapshot.  Pipeline counters are device scalars
+        still attached to in-flight frames; converting an unready one would
+        BLOCK the host on the device pipeline (serializing an App loop that
+        displays stats every frame).  By default unready counters are
+        reported as None; pass sync=True to block and read them all."""
         out = {
             "frames": self.n_frames,
             "fps_host_loop": round(self.fps, 2),
@@ -53,7 +58,8 @@ class FrameStats:
             else None,
         }
         for k, v in self.counters.items():
-            out[k] = int(v)
+            ready = not hasattr(v, "is_ready") or v.is_ready()
+            out[k] = int(v) if (sync or ready) else None
         return out
 
 

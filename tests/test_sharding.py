@@ -278,12 +278,27 @@ def test_renderer_n_devices_facade_fused():
     np.testing.assert_array_equal(np.asarray(rgba_m), np.asarray(rgba_s))
 
 
-def test_renderer_mesh_height_validation():
+def test_renderer_indivisible_height_pads():
+    """An indivisible tile-row count must WORK (padded slabs render
+    background and the frame is cropped) and stay bit-equal to
+    single-device — a window resize to an odd extent must never crash the
+    loop (the reference's OUT_OF_DATE recovery never hard-fails,
+    renderer.rs:416-428)."""
+    import dataclasses
+
     from ash_renderer_tpu import Renderer
 
     scene = _scene()
-    settings = RendererSettings(
-        width=128, height=48, pipeline="classic", n_devices=2
-    )  # grid_h = 3, not divisible by 2
-    with pytest.raises(ValueError, match="not divisible"):
-        Renderer(scene, settings)
+    for pipeline in ("classic", "fused"):
+        settings = RendererSettings(
+            width=128, height=48, clip_budget=128, max_pairs=1 << 14,
+            pipeline=pipeline, n_devices=2,
+        )  # classic grid_h = 3, fused grid_h = 6 -> both odd vs 2 devices
+        if pipeline == "fused":
+            settings = dataclasses.replace(settings, height=40)  # grid_h 5
+        cam = Camera()
+        rgba_m, _ = Renderer(scene, settings).render_frame(cam)
+        single = dataclasses.replace(settings, n_devices=None)
+        rgba_s, _ = Renderer(scene, single).render_frame(cam)
+        assert rgba_m.shape == rgba_s.shape
+        np.testing.assert_array_equal(np.asarray(rgba_m), np.asarray(rgba_s))
