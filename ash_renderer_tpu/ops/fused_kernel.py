@@ -150,6 +150,7 @@ def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0,
 def _kernel(
     rmeta_ref,
     tbl_ref,
+    ext_ref,
     vis_d_ref,
     vis_t_ref,
     planes_ref,
@@ -200,14 +201,20 @@ def _kernel(
     # the copy engine runs ahead of the compute (the serialized
     # start();wait() form left ~1-2 us of DMA latency exposed per segment,
     # ~10 ms/phase at the headline's ~5.6k segments).
+    # range 5 (the wide-PAIR run) streams from the separate ext table,
+    # which the pipeline gathers only on frames with a live wide run —
+    # static frames never pay the pair budget's gather (pipeline.py)
+    def src_ref(i):
+        return ext_ref if i == N_RANGES - 1 else tbl_ref
+
     def start_seg(i, ab):
         pltpu.make_async_copy(
-            tbl_ref.at[pl.ds(ab, seg), :], tbl_bufs.at[i], sems.at[i]
+            src_ref(i).at[pl.ds(ab, seg), :], tbl_bufs.at[i], sems.at[i]
         ).start()
 
     def wait_seg(i, ab):
         pltpu.make_async_copy(
-            tbl_ref.at[pl.ds(ab, seg), :], tbl_bufs.at[i], sems.at[i]
+            src_ref(i).at[pl.ds(ab, seg), :], tbl_bufs.at[i], sems.at[i]
         ).wait()
 
     rr = [range_scalars(i) for i in range(N_RANGES)]
@@ -455,6 +462,7 @@ def _kernel(
 def rasterize_distribute(
     rmeta,
     tbl_sorted,
+    tbl_ext,
     cfg: RasterConfig,
     interpret: bool = False,
     tile_rows: int | None = None,
@@ -465,7 +473,10 @@ def rasterize_distribute(
 
     rmeta:      flattened range meta (build_range_meta);
     tbl_sorted: (S_pad, 128) i32 combined table in bin_sort streaming order
-                (tritables.sorted_table).
+                (tritables.sorted_table);
+    tbl_ext:    (P_pad, 128) i32 wide-pair extension table — range 5's
+                per-tile pair runs index THIS table (base 0).  May be all
+                zeros when no pair run is live (pair ranges are empty then).
 
     Returns (vis_d, vis_t, planes) — vis planes cropped to (height, width),
     planes (n_tiles, 48, 1024) int32 per-pixel shading fields in table-col
@@ -474,6 +485,7 @@ def rasterize_distribute(
     """
     assert cfg.tile_h == TILE_H and cfg.tile_w == TILE_W
     assert tbl_sorted.shape[1] == TBL_COLS
+    assert tbl_ext.shape[1] == TBL_COLS
     # windows stay in bounds iff the table carries >= seg pad slots past
     # the last real row (tritables.sorted_table pad_rows); window starts
     # are 8-aligned by construction, the table length need not be
@@ -502,7 +514,10 @@ def rasterize_distribute(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=(block, block, planes_block),
         scratch_shapes=[
             pltpu.VMEM((N_RANGES, seg, TBL_COLS), I32),
@@ -524,7 +539,7 @@ def rasterize_distribute(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rmeta, tbl_sorted)
+    )(rmeta, tbl_sorted, tbl_ext)
     if full:
         return (
             vis_d[: cfg.height, : cfg.width],

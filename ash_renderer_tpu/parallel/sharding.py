@@ -142,12 +142,12 @@ def _slab_pipeline_fused(
         (flags & 1).astype(bool), extx, exty, cfg, tile_row0, rows_per
     )
     keys = jnp.concatenate([keys_main, keys_tail])
-    # sort + wide-pair expansion + sorted-table gather, window-local
-    rmeta, tbl_sorted = plmod.sort_expand_table(
+    # sort + wide-pair expansion + sorted-table gathers, window-local
+    rmeta, tbl_sorted, tbl_ext = plmod.sort_expand_table(
         statics, comb, keys, tile_row0, rows_per
     )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
-        rmeta, tbl_sorted, cfg, interpret=statics.interpret,
+        rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret,
         tile_rows=rows_per,
     )
     rgba8 = plmod._shade_from_planes(

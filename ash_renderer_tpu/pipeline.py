@@ -264,9 +264,9 @@ def render_frame_fused(
             statics, tblT, tri_v, tri_mat, flags, comb
         )
         keys = jnp.concatenate([keys_main, keys_tail])
-    rmeta, tbl_sorted = sort_expand_table(statics, comb, keys)
+    rmeta, tbl_sorted, tbl_ext = sort_expand_table(statics, comb, keys)
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
-        rmeta, tbl_sorted, cfg, interpret=statics.interpret
+        rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret
     )
     rgba8 = _shade_from_planes(
         statics, planes, vis_t, camera_pos, materials, atlas, light
@@ -335,15 +335,19 @@ _fstage_tail = jax.jit(
 
 def sort_expand_table(statics, comb, keys, tile_row0=0,
                       tile_rows: int | None = None):
-    """Streaming-key sort + wide-pair expansion + sorted-table gather: the
+    """Streaming-key sort + wide-pair expansion + sorted-table gathers: the
     shared back half of the fused pipeline's binning.
 
-    Wide rows (AABB spanning >2 tiles either axis) are expanded into exact
-    per-tile pair runs appended after the sorted order (budget:
-    settings.wide_rows / settings.wide_pairs; overflow stays in the global
-    wide run, so budgets only affect speed) — measured +98 ms on the
-    zoomed headline frame without this (every tile streamed every wide
-    triangle; experiments/flyby_stage_probe.py)."""
+    Returns (rmeta, tbl_sorted, tbl_ext).  Wide rows (AABB spanning >2
+    tiles either axis) are expanded into exact per-tile pair runs in the
+    SEPARATE extension table tbl_ext (budget: settings.wide_rows /
+    settings.wide_pairs; overflow stays in the global wide run, so budgets
+    only affect speed) — measured +98 ms on the zoomed headline frame
+    without the expansion (every tile streamed every wide triangle;
+    experiments/flyby_stage_probe.py).  The ext gather runs under lax.cond
+    only when a wide run exists, and the main gather stops at the smallest
+    static prefix covering the live rows (tritables.sorted_table_budgeted)
+    — static frames pay neither the pair budget nor the dead tail."""
     cfg = statics.cfg
     st = statics.settings
     n_tiles = (cfg.grid_h if tile_rows is None else tile_rows) * cfg.grid_w
@@ -356,12 +360,21 @@ def sort_expand_table(statics, comb, keys, tile_row0=0,
     )
     rmeta = fused_kernel.build_range_meta(
         bounds, n_tiles, cfg.grid_w, tile_row0,
-        pair_starts=pair_starts, pair_base=order.shape[0],
+        pair_starts=pair_starts, pair_base=0,
         wide_start=new_ws,
     )
-    order_ext = jnp.concatenate([order, pair_rows])
-    tbl_sorted = tritables.sorted_table(comb, order_ext, 256)
-    return rmeta, tbl_sorted
+    live_end = bounds[n_tiles * binsort.N_GRP + 1]  # dead-run start
+    tbl_sorted = tritables.sorted_table_budgeted(comb, order, 256, live_end)
+    n_pairs = pair_starts[-1]
+
+    def ext_live(_):
+        return tritables.sorted_table(comb, pair_rows, 256)
+
+    def ext_dead(_):
+        return jnp.zeros((pair_rows.shape[0] + 256, comb.shape[1]), I32)
+
+    tbl_ext = jax.lax.cond(n_pairs > 0, ext_live, ext_dead, None)
+    return rmeta, tbl_sorted, tbl_ext
 
 
 @functools.partial(jax.jit, static_argnames=("statics",))
@@ -405,9 +418,11 @@ def render_frame_fused_staged(
     comb, keys_tail, gstats = _fstage_tail(
         statics, tblT, tri_v, tri_mat, flags, comb
     )
-    rmeta, tbl_sorted = _fstage_sort(statics, comb, keys_main, keys_tail)
+    rmeta, tbl_sorted, tbl_ext = _fstage_sort(
+        statics, comb, keys_main, keys_tail
+    )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
-        rmeta, tbl_sorted, cfg, interpret=statics.interpret
+        rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret
     )
     rgba8 = _fstage_shade(
         statics, planes, vis_t, camera_pos, materials, atlas, light

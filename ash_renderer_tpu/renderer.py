@@ -438,12 +438,12 @@ class Renderer:
                 functools.partial(plmod._fstage_sort.__wrapped__, self.statics),
                 comb2, keys_m, keys_t,
             )
-            rmeta, tbl = sort_out
+            rmeta, tbl, tbl_ext = sort_out
             rast_out = jax.eval_shape(
                 functools.partial(
                     fused_kernel.rasterize_distribute.__wrapped__, cfg=cfg
                 ),
-                rmeta, tbl,
+                rmeta, tbl, tbl_ext,
             )
             _, vis_t, planes = rast_out
             lowered = [
@@ -458,7 +458,8 @@ class Renderer:
                 ),
                 plmod._fstage_sort.lower(self.statics, comb2, keys_m, keys_t),
                 fused_kernel.rasterize_distribute.lower(
-                    rmeta, tbl, cfg, interpret=self.statics.interpret
+                    rmeta, tbl, tbl_ext, cfg,
+                    interpret=self.statics.interpret,
                 ),
                 plmod._fstage_shade.lower(
                     self.statics, planes, vis_t, acam, abs_mats,

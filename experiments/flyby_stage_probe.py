@@ -69,13 +69,13 @@ def stage_times(r, cam, label, reps=5):
         out["clip_tail"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        rmeta, tbl_sorted = plmod._fstage_sort(statics, comb, keys_main, keys_tail)
+        rmeta, tbl_sorted, tbl_ext = plmod._fstage_sort(statics, comb, keys_main, keys_tail)
         force(rmeta)
         out["sort"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
-            rmeta, tbl_sorted, cfg, interpret=False
+            rmeta, tbl_sorted, tbl_ext, cfg, interpret=False
         )
         force(vis_t)
         out["raster_kernel"] = time.perf_counter() - t0

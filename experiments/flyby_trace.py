@@ -127,7 +127,7 @@ def stage_split(r, cam, label, reps=3):
         out["clip_tail"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        rmeta, tbl_sorted = plmod._fstage_sort(
+        rmeta, tbl_sorted, tbl_ext = plmod._fstage_sort(
             r.statics, comb, keys_main, keys_tail
         )
         force(rmeta)
@@ -135,7 +135,7 @@ def stage_split(r, cam, label, reps=3):
 
         t0 = time.perf_counter()
         vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
-            rmeta, tbl_sorted, r.cfg, interpret=False
+            rmeta, tbl_sorted, tbl_ext, r.cfg, interpret=False
         )
         force(vis_t)
         out["raster_kernel"] = time.perf_counter() - t0

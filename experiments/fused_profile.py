@@ -98,7 +98,9 @@ def main():
     print(f"sorted-table gather: {dt*1000:.1f} ms", flush=True)
 
     dt, (vis_d, vis_t, planes) = timeit(
-        lambda: fused_kernel.rasterize_distribute(rmeta, tbl_sorted, cfg),
+        lambda: fused_kernel.rasterize_distribute(
+            rmeta, tbl_sorted, jnp.zeros((512, 128), jnp.int32), cfg
+        ),
         reps=3,
     )
     print(f"FUSED KERNEL: {dt*1000:.1f} ms", flush=True)

@@ -170,8 +170,9 @@ def main():
     rm_real = jnp.zeros(cfg.n_tiles * 12 + 1, I32)
     tbl_tiny = jnp.zeros((512, 128), I32)
     tbl_big = jnp.zeros((1 << 20, 128), I32)
+    ext0 = jnp.zeros((512, 128), I32)
     f = jax.jit(lambda rm_, tb_: fused_kernel.rasterize_distribute(
-        rm_, tb_, cfg, phases="z"))
+        rm_, tb_, ext0, cfg, phases="z"))
     bench(f, rm_real, tbl_tiny, label="l) real kernel z, tiny table")
     bench(f, rm_real, tbl_big, label="m) real kernel z, 512MB table")
 

@@ -62,7 +62,7 @@ def main():
     comb, keys_tail, _ = plmod._fstage_tail(
         r.statics, tblT, b["tri_v"], b["tri_mat"], flags, comb
     )
-    rmeta, tbl = plmod._fstage_sort(r.statics, comb, keys_main, keys_tail)
+    rmeta, tbl, tbl_ext = plmod._fstage_sort(r.statics, comb, keys_main, keys_tail)
     force((rmeta, tbl))
 
     # segment stats
@@ -74,9 +74,10 @@ def main():
 
     rm_zero = jnp.zeros_like(rmeta)
     tbl_zero = jnp.zeros_like(tbl)
+    ext_zero = jnp.zeros_like(tbl_ext)
     fnz = jax.jit(
         lambda rm_, tb_: fused_kernel.rasterize_distribute(
-            rm_, tb_, cfg, phases="z"
+            rm_, tb_, ext_zero, cfg, phases="z"
         )
     )
     for rlab, rm_ in (("real", rmeta), ("zero", rm_zero)):
@@ -87,7 +88,7 @@ def main():
     for ph in ("", "e", "vde"):
         fn = jax.jit(
             lambda rm_, tb_, ph=ph: fused_kernel.rasterize_distribute(
-                rm_, tb_, cfg, phases=ph
+                rm_, tb_, tbl_ext, cfg, phases=ph
             )
         )
         dt, _ = timeit(fn, rmeta, tbl)

@@ -43,9 +43,10 @@ def main():
     cfg = derive_raster_config(1920, 1080, tile_h=8)
     rm = jnp.zeros(cfg.n_tiles * 12 + 1, I32)
     tbl = jnp.zeros((1 << 20, 128), I32)
+    ext0 = jnp.zeros((512, 128), I32)
     fnz = jax.jit(
         lambda rm_, tb_: fused_kernel.rasterize_distribute(
-            rm_, tb_, cfg, phases="z"
+            rm_, tb_, ext0, cfg, phases="z"
         )
     )
 

@@ -104,7 +104,9 @@ def main():
     print(f"sort + meta + sorted gather: {dt*1000:.1f} ms", flush=True)
 
     rast = jax.jit(
-        lambda rmeta, tbl: fused_kernel.rasterize_distribute(rmeta, tbl, cfg)
+        lambda rmeta, tbl: fused_kernel.rasterize_distribute(
+            rmeta, tbl, jnp.zeros((512, 128), jnp.int32), cfg
+        )
     )
     dt, (vis_d, vis_t, planes) = timeit(rast, rmeta, tbl_sorted)
     print(f"raster kernel: {dt*1000:.1f} ms", flush=True)
