@@ -70,7 +70,9 @@ TILE_H = 8
 TILE_W = 128
 N_PIX = TILE_H * TILE_W
 COMB_USED = 48  # distributed table cols consumed by phase E (0-47)
-OUT_COLS = 24  # phase E output planes: 12 attrs, 4 uv-deriv raws, mat, pad
+OUT_COLS = 24  # phase E output planes: 12 attrs, 4 uv-deriv raws, mat,
+               # winner ids (VIS_ROW), pad
+VIS_ROW = 17  # plane row carrying the tile-flat winner triangle ids
 PLANE_ROWS = 64  # distribute accumulator rows (COMB_USED=48 consumed,
                  # rounded to the 8x(8,128) vreg tile; was TBL_COLS=128 —
                  # the extra 64 rows cost a full zero-fill + matmul pass)
@@ -450,9 +452,16 @@ def _kernel(
             duv[k], I32
         )
     planes_ref[0, 16:17, :] = orow(9)  # mat
+    # row 17: the tile-flat winner ids (phase V's result, already flat in
+    # scratch) — shading consumes THIS plane for its validity mask, so the
+    # pipeline never re-layouts the (H, W) vis_t output per frame (the
+    # pad+reshape+transpose chain it replaces cost ~1 ms at 1080p)
+    planes_ref[0, VIS_ROW : VIS_ROW + 1, :] = flat_s[:]
     # pad rows: zero-fill so the planes output never carries stale VMEM
     # bytes (bit-for-bit discipline for any future consumer/debug dump)
-    planes_ref[0, 17:OUT_COLS, :] = jnp.zeros((OUT_COLS - 17, N_PIX), I32)
+    planes_ref[0, VIS_ROW + 1 : OUT_COLS, :] = jnp.zeros(
+        (OUT_COLS - VIS_ROW - 1, N_PIX), I32
+    )
 
 
 @functools.partial(

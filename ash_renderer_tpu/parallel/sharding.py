@@ -151,7 +151,7 @@ def _slab_pipeline_fused(
         tile_rows=rows_per,
     )
     rgba8 = plmod._shade_from_planes(
-        statics, planes, vis_t, camera_pos,
+        statics, planes, camera_pos,
         materials if statics.has_materials else None,
         atlas if statics.has_atlas else None,
         light if statics.has_light else None,

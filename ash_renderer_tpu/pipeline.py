@@ -120,12 +120,14 @@ render_frame_jit = jax.jit(render_frame, static_argnames=("statics",))
 # ---------------------------------------------------------------------------
 
 
-def _shade_from_planes(statics, planes, vis_t, camera_pos, materials, atlas,
+def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
                        light, tile_row0=0):
     """Shade the distributed field planes TILE-FLAT: planes stay in the
-    kernel's (n_tiles, 48, 1024) field-major layout (no lane padding, no
+    kernel's (n_tiles, 24, 1024) field-major layout (no lane padding, no
     400 MB field relayout); per-pixel screen coordinates are derived from
     the tile index, and only the final RGBA is relaid out to (H, W).
+    The winner-id/validity plane is the kernel's VIS_ROW output row — the
+    (H, W) vis_t never round-trips through a relayout.
 
     tile_row0: first tile row of this slab (traced under shard_map); when
     nonzero the caller guarantees the slab needs no row crop."""
@@ -137,15 +139,7 @@ def _shade_from_planes(statics, planes, vis_t, camera_pos, materials, atlas,
     gh = n_tiles // gw
     hpad, wpad = gh * th, gw * tw
     full_frame = isinstance(tile_row0, int) and tile_row0 == 0
-    vis_p = jnp.pad(
-        vis_t,
-        ((0, hpad - vis_t.shape[0]), (0, wpad - vis_t.shape[1])),
-        constant_values=I32(-1),
-    )
-    vis_tf = (
-        vis_p.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
-        .reshape(n_tiles, th * tw)
-    )
+    vis_tf = planes[:, fused_kernel.VIS_ROW, :]
     valid = vis_tf >= 0
 
     def f(i):
@@ -269,7 +263,7 @@ def render_frame_fused(
         rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret
     )
     rgba8 = _shade_from_planes(
-        statics, planes, vis_t, camera_pos, materials, atlas, light
+        statics, planes, camera_pos, materials, atlas, light
     )
     aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats}
     return rgba8, aux
@@ -384,10 +378,9 @@ def _fstage_sort(statics, comb, keys_main, keys_tail):
 
 
 @functools.partial(jax.jit, static_argnames=("statics",))
-def _fstage_shade(statics, planes, vis_t, camera_pos, materials, atlas,
-                  light):
+def _fstage_shade(statics, planes, camera_pos, materials, atlas, light):
     return _shade_from_planes(
-        statics, planes, vis_t, camera_pos, materials, atlas, light
+        statics, planes, camera_pos, materials, atlas, light
     )
 
 
@@ -425,7 +418,7 @@ def render_frame_fused_staged(
         rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret
     )
     rgba8 = _fstage_shade(
-        statics, planes, vis_t, camera_pos, materials, atlas, light
+        statics, planes, camera_pos, materials, atlas, light
     )
     aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats}
     return rgba8, aux

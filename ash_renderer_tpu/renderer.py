@@ -462,7 +462,7 @@ class Renderer:
                     interpret=self.statics.interpret,
                 ),
                 plmod._fstage_shade.lower(
-                    self.statics, planes, vis_t, acam, abs_mats,
+                    self.statics, planes, acam, abs_mats,
                     abs_atlas, abs_light,
                 ),
             ]

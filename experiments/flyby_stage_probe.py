@@ -82,7 +82,7 @@ def stage_times(r, cam, label, reps=5):
 
         t0 = time.perf_counter()
         rgba8 = plmod._fstage_shade(
-            statics, planes, vis_t, cpos, r.materials, r.atlas, r.light
+            statics, planes, cpos, r.materials, r.atlas, r.light
         )
         force(rgba8)
         out["shade"] = time.perf_counter() - t0

@@ -142,7 +142,7 @@ def stage_split(r, cam, label, reps=3):
 
         t0 = time.perf_counter()
         rgba8 = plmod._fstage_shade(
-            r.statics, planes, vis_t, cpos, r.materials, r.atlas, r.light
+            r.statics, planes, cpos, r.materials, r.atlas, r.light
         )
         force(rgba8)
         out["shade"] = time.perf_counter() - t0

@@ -9,6 +9,10 @@ materials/atlas/light/camera bits — through oracle.raster_cpu ONCE offline,
 and stores the sha256 + a preview PNG under docs/golden/.
 
 Usage: python experiments/oracle_headline.py [--subdiv N] [--out PATH]
+                                             [--config NAME]
+--config config4_terrain renders the terrain headline variant instead
+(its own golden: docs/golden/headline_terrain.json, gating
+bench.py --config config4_terrain).
 Runtime at subdiv=8 (1.31M tris): hours of single-core numpy — run detached.
 """
 
@@ -32,15 +36,20 @@ def main():
     ap.add_argument("--out", default=None,
                     help="output JSON path (default docs/golden/"
                          "headline_config4.json for subdiv=8)")
+    ap.add_argument("--config", default="config4_million_tri",
+                    choices=["config4_million_tri", "config4_terrain"])
     args = ap.parse_args()
 
-    from ash_renderer_tpu.benchmarks import config4_million_tri
+    from ash_renderer_tpu.benchmarks import config4_million_tri, config4_terrain
     from ash_renderer_tpu.config import derive_raster_config
     from ash_renderer_tpu.oracle.raster_cpu import compose_mvp, render_oracle
     from ash_renderer_tpu.rtypes import LightPack, MaterialsPack
 
     t0 = time.time()
-    scene, settings, cams = config4_million_tri(subdiv=args.subdiv)
+    if args.config == "config4_terrain":
+        scene, settings, cams = config4_terrain()
+    else:
+        scene, settings, cams = config4_million_tri(subdiv=args.subdiv)
     cam = cams[0]
     # EXACTLY the Renderer's fused-pipeline world: meshlet packing (triangle
     # order feeds the (d16, -tri_id) tie-break) and the tile_h=8 RasterConfig
@@ -83,14 +92,15 @@ def main():
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     outdir = os.path.join(root, "docs", "golden")
     os.makedirs(outdir, exist_ok=True)
-    out = args.out or os.path.join(
-        outdir,
-        "headline_config4.json"
-        if args.subdiv == 8
-        else f"headline_config4_s{args.subdiv}.json",
-    )
+    if args.config == "config4_terrain":
+        default_name = "headline_terrain.json"
+    elif args.subdiv == 8:
+        default_name = "headline_config4.json"
+    else:
+        default_name = f"headline_config4_s{args.subdiv}.json"
+    out = args.out or os.path.join(outdir, default_name)
     meta = {
-        "config": "config4_million_tri",
+        "config": args.config,
         "subdiv": args.subdiv,
         "n_tris": n_tris,
         "width": int(rgba8.shape[1]),

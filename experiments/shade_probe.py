@@ -71,11 +71,11 @@ def main():
     ]
     for name, statics in variants:
         fn = jax.jit(
-            lambda p, v, s=statics: plmod._fstage_shade(
-                s, p, v, campos, r.materials, r.atlas, r.light
+            lambda p, s=statics: plmod._fstage_shade(
+                s, p, campos, r.materials, r.atlas, r.light
             )
         )
-        dt, _ = timeit(fn, planes, vis_t)
+        dt, _ = timeit(fn, planes)
         print(f"shade [{name}]: {dt*1000:.1f} ms", flush=True)
 
 
