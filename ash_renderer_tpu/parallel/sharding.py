@@ -143,7 +143,7 @@ def _slab_pipeline_fused(
     )
     keys = jnp.concatenate([keys_main, keys_tail])
     # sort + wide-pair expansion + sorted-table gathers, window-local
-    rmeta, tbl_sorted, tbl_ext = plmod.sort_expand_table(
+    rmeta, tbl_sorted, tbl_ext, _sstats = plmod.sort_expand_table(
         statics, comb, keys, tile_row0, rows_per
     )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(

@@ -258,14 +258,16 @@ def render_frame_fused(
             statics, tblT, tri_v, tri_mat, flags, comb
         )
         keys = jnp.concatenate([keys_main, keys_tail])
-    rmeta, tbl_sorted, tbl_ext = sort_expand_table(statics, comb, keys)
+    rmeta, tbl_sorted, tbl_ext, sstats = sort_expand_table(
+        statics, comb, keys
+    )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret
     )
     rgba8 = _shade_from_planes(
         statics, planes, camera_pos, materials, atlas, light
     )
-    aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats}
+    aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats, **sstats}
     return rgba8, aux
 
 
@@ -368,7 +370,18 @@ def sort_expand_table(statics, comb, keys, tile_row0=0,
         return jnp.zeros((pair_rows.shape[0] + 256, comb.shape[1]), I32)
 
     tbl_ext = jax.lax.cond(n_pairs > 0, ext_live, ext_dead, None)
-    return rmeta, tbl_sorted, tbl_ext
+    ws = bounds[n_tiles * binsort.N_GRP]
+    sstats = {
+        # wide-run population counters (cheap scalars already computed):
+        # n_wide = wide rows this frame, wide_pairs_n = expanded pair slots,
+        # wide_leftover = rows the budgets left in the global run (every
+        # tile streams those — nonzero here on a slow frame is the smoking
+        # gun the moving-camera bench logs per frame)
+        "n_wide": live_end - ws,
+        "wide_pairs_n": n_pairs,
+        "wide_leftover": live_end - new_ws,
+    }
+    return rmeta, tbl_sorted, tbl_ext, sstats
 
 
 @functools.partial(jax.jit, static_argnames=("statics",))
@@ -411,7 +424,7 @@ def render_frame_fused_staged(
     comb, keys_tail, gstats = _fstage_tail(
         statics, tblT, tri_v, tri_mat, flags, comb
     )
-    rmeta, tbl_sorted, tbl_ext = _fstage_sort(
+    rmeta, tbl_sorted, tbl_ext, sstats = _fstage_sort(
         statics, comb, keys_main, keys_tail
     )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
@@ -420,7 +433,7 @@ def render_frame_fused_staged(
     rgba8 = _fstage_shade(
         statics, planes, camera_pos, materials, atlas, light
     )
-    aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats}
+    aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats, **sstats}
     return rgba8, aux
 
 

@@ -438,7 +438,7 @@ class Renderer:
                 functools.partial(plmod._fstage_sort.__wrapped__, self.statics),
                 comb2, keys_m, keys_t,
             )
-            rmeta, tbl, tbl_ext = sort_out
+            rmeta, tbl, tbl_ext, _ss = sort_out
             rast_out = jax.eval_shape(
                 functools.partial(
                     fused_kernel.rasterize_distribute.__wrapped__, cfg=cfg

@@ -104,18 +104,21 @@ def parity_gate(pipeline: str = "classic") -> bool:
     return ok
 
 
-def headline_hash_gate(rgba8, subdiv: int) -> bool | None:
+def headline_hash_gate(rgba8, subdiv: int, config: str) -> bool | None:
     """Scale-exactness gate: the device headline frame must byte-equal the
-    offline numpy-oracle render (docs/golden/headline_config4.json, written
-    by experiments/oracle_headline.py).  Returns None when no golden matches
+    offline numpy-oracle render (docs/golden/headline_*.json, written by
+    experiments/oracle_headline.py) — both the 1.31M-tri sphere and the
+    1.0M-tri terrain have goldens.  Returns None when no golden matches
     (non-headline subdiv), else pass/fail."""
     import hashlib
 
     root = os.path.dirname(os.path.abspath(__file__))
-    name = (
-        "headline_config4.json" if subdiv == 8
-        else f"headline_config4_s{subdiv}.json"
-    )
+    if config == "config4_terrain":
+        name = "headline_terrain.json"
+    elif subdiv == 8:
+        name = "headline_config4.json"
+    else:
+        name = f"headline_config4_s{subdiv}.json"
     path = os.path.join(root, "docs", "golden", name)
     if not os.path.exists(path):
         log(f"headline hash gate: no golden for subdiv={subdiv}, skipped")
@@ -233,18 +236,18 @@ def main():
     # scale-exactness gate: headline frame vs the offline oracle render
     hash_ok = True
     if (
-        args.config == "config4_million_tri"
+        args.config in ("config4_million_tri", "config4_terrain")
         and not args.small
         and r.settings.pipeline == "fused"
     ):
-        res = headline_hash_gate(rgba8, args.subdiv)
+        res = headline_hash_gate(rgba8, args.subdiv, args.config)
         hash_ok = res is not False
         try:  # keep the gallery's headline render current
             from PIL import Image
 
             gal = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
-                "docs", "gallery", "config4_million_tri.png",
+                "docs", "gallery", f"{args.config}.png",
             )
             Image.fromarray(np.asarray(rgba8)).save(gal)
             log(f"gallery render saved: {gal}")
@@ -268,22 +271,35 @@ def main():
     if args.config == "config4_million_tri" and not args.small:
         fcams = flyby_path(24)
         r.render_frame(fcams[0])  # clip-branch not a new compile, but warm it
-        clipped = []
+        per = []  # per-frame counters (device scalars, read after the loop)
         t0 = time.time()
         for fc in fcams:
             rgba8_m, aux_m = r.render_frame(fc)
-            if "n_clipped" in aux_m:
-                clipped.append(aux_m["n_clipped"])
+            per.append({
+                k: aux_m[k]
+                for k in ("n_clipped", "n_wide", "wide_pairs_n",
+                          "wide_leftover")
+                if k in aux_m
+            })
         force(rgba8_m)
         mdt = (time.time() - t0) / len(fcams)
         orbit_fps = 1.0 / mdt
-        ncl = [int(np.asarray(c)) for c in clipped]
+        per = [{k: int(np.asarray(v)) for k, v in d.items()} for d in per]
+        ncl = [d.get("n_clipped", 0) for d in per]
         log(
             f"moving camera (fly-by): {mdt*1000:.1f} ms/frame = "
             f"{orbit_fps:.2f} FPS; clipped tris/frame min={min(ncl)} "
             f"max={max(ncl)} (frames with clips: "
             f"{sum(1 for c in ncl if c > 0)}/{len(ncl)})"
         )
+        for i, d in enumerate(per):  # wide-run population per frame
+            if any(d.get(k, 0) for k in ("n_wide", "wide_leftover")):
+                log(
+                    f"  frame {i:2d}: clipped={d.get('n_clipped', 0):5d} "
+                    f"wide={d.get('n_wide', 0):6d} "
+                    f"pairs={d.get('wide_pairs_n', 0):7d} "
+                    f"global-run leftover={d.get('wide_leftover', 0):6d}"
+                )
 
     value = round(fps, 3)
     flags = ("" if parity_ok else " [PARITY GATE FAILED]") + (

@@ -69,7 +69,7 @@ def stage_times(r, cam, label, reps=5):
         out["clip_tail"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        rmeta, tbl_sorted, tbl_ext = plmod._fstage_sort(statics, comb, keys_main, keys_tail)
+        rmeta, tbl_sorted, tbl_ext, sstats = plmod._fstage_sort(statics, comb, keys_main, keys_tail)
         force(rmeta)
         out["sort"] = time.perf_counter() - t0
 

@@ -127,7 +127,7 @@ def stage_split(r, cam, label, reps=3):
         out["clip_tail"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        rmeta, tbl_sorted, tbl_ext = plmod._fstage_sort(
+        rmeta, tbl_sorted, tbl_ext, sstats = plmod._fstage_sort(
             r.statics, comb, keys_main, keys_tail
         )
         force(rmeta)

@@ -62,7 +62,7 @@ def main():
     comb, keys_tail, _ = plmod._fstage_tail(
         r.statics, tblT, b["tri_v"], b["tri_mat"], flags, comb
     )
-    rmeta, tbl, tbl_ext = plmod._fstage_sort(r.statics, comb, keys_main, keys_tail)
+    rmeta, tbl, tbl_ext, _ss = plmod._fstage_sort(r.statics, comb, keys_main, keys_tail)
     force((rmeta, tbl))
 
     # segment stats

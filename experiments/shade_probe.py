@@ -56,7 +56,7 @@ def main():
     comb, keys_tail, _ = plmod._fstage_tail(
         r.statics, tblT, b["tri_v"], b["tri_mat"], flags, comb
     )
-    rmeta, tbl, tbl_ext = plmod._fstage_sort(statics, comb, keys_main, keys_tail)
+    rmeta, tbl, tbl_ext, _ss = plmod._fstage_sort(statics, comb, keys_main, keys_tail)
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(rmeta, tbl, tbl_ext, cfg)
     force((vis_t, planes))
     campos = jnp.asarray(cam.position.astype(np.float32))
