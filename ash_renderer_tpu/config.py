@@ -66,6 +66,13 @@ class RendererSettings:
     # Per-stage jits instead of one fused frame function: ~10x faster
     # compiles at 1M-triangle shapes, a few percent slower steady-state.
     staged_pipeline: bool = False
+    # Merge the fused pipeline's four XLA-front stages (vertex transform,
+    # setup kernel, clip tail, sort/expand) into ONE jitted program:
+    # identical results, 6 -> 3 device programs — the per-(program, shape)
+    # device-load term dominates cold start on the remote TPU.  The big
+    # raster kernel and the shade stage stay separate (including them is
+    # what made the monolithic compile intractable).
+    fused_front_merge: bool = True
     # Pipeline implementation: "fused" = the sort-binned fused Pallas
     # kernels (setup kernel + raster/distribute kernel, no XLA scalar-path
     # gathers, budget-free binning); "classic" = the round-1 pair-record

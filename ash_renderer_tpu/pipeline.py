@@ -391,6 +391,36 @@ def _fstage_sort(statics, comb, keys_main, keys_tail):
 
 
 @functools.partial(jax.jit, static_argnames=("statics",))
+def _fstage_front(statics, positions, vert_obj, normals, colors, uvs,
+                  model_mats, mvp_mats, tri_v, tri_mat, ltT, matT):
+    """Stages 1-4 (vertex transform + setup kernel + clip tail + sort/
+    expand/gathers) under ONE jit: fewer (program, shape) pairs cuts the
+    per-program device-load term that dominates cold start on the remote
+    TPU (DESIGN.md cold-start anatomy; 6 -> 3 programs with this on).
+    The raster and shade stages stay separate — including the big fused
+    kernel in the same graph is what made the monolithic compile
+    intractable (>10 min at 1M shapes).  Enabled by
+    RendererSettings.fused_front_merge."""
+    cfg = statics.cfg
+    st = statics.settings
+    tblT = setup_kernel.transform_vertices_T(
+        positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
+    )
+    comb, keys_main, flags, _, _ = setup_kernel.triangle_setup(
+        tblT, ltT, matT, cfg, interpret=statics.interpret,
+        tail_rows=st.clip_budget * geometry.MAX_CLIP_TRIS,
+    )
+    comb, keys_tail, gstats = _clip_tail_into(
+        statics, tblT, tri_v, tri_mat, flags, comb
+    )
+    keys = jnp.concatenate([keys_main, keys_tail])
+    rmeta, tbl_sorted, tbl_ext, sstats = sort_expand_table(
+        statics, comb, keys
+    )
+    return rmeta, tbl_sorted, tbl_ext, {**gstats, **sstats}
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
 def _fstage_shade(statics, planes, camera_pos, materials, atlas, light):
     return _shade_from_planes(
         statics, planes, camera_pos, materials, atlas, light
@@ -410,30 +440,39 @@ def render_frame_fused_staged(
 ):
     """Same signature/results as render_frame_fused (meshlet path), via
     per-stage jits.  Requires meshlet tables (ltT/matT/tri_mat precomputed —
-    the Renderer path)."""
+    the Renderer path).  With settings.fused_front_merge the four XLA-front
+    stages run as ONE program (_fstage_front) — identical results, fewer
+    device programs (cold start)."""
     assert ltT is not None and matT is not None and tri_mat is not None
     cfg = statics.cfg
     st = statics.settings
-    tblT = _fstage_transform(
-        positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
-    )
-    comb, keys_main, flags, _, _ = setup_kernel.triangle_setup(
-        tblT, ltT, matT, cfg, interpret=statics.interpret,
-        tail_rows=st.clip_budget * geometry.MAX_CLIP_TRIS,
-    )
-    comb, keys_tail, gstats = _fstage_tail(
-        statics, tblT, tri_v, tri_mat, flags, comb
-    )
-    rmeta, tbl_sorted, tbl_ext, sstats = _fstage_sort(
-        statics, comb, keys_main, keys_tail
-    )
+    if st.fused_front_merge:
+        rmeta, tbl_sorted, tbl_ext, stats = _fstage_front(
+            statics, positions, vert_obj, normals, colors, uvs,
+            model_mats, mvp_mats, tri_v, tri_mat, ltT, matT,
+        )
+    else:
+        tblT = _fstage_transform(
+            positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats
+        )
+        comb, keys_main, flags, _, _ = setup_kernel.triangle_setup(
+            tblT, ltT, matT, cfg, interpret=statics.interpret,
+            tail_rows=st.clip_budget * geometry.MAX_CLIP_TRIS,
+        )
+        comb, keys_tail, gstats = _fstage_tail(
+            statics, tblT, tri_v, tri_mat, flags, comb
+        )
+        rmeta, tbl_sorted, tbl_ext, sstats = _fstage_sort(
+            statics, comb, keys_main, keys_tail
+        )
+        stats = {**gstats, **sstats}
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret
     )
     rgba8 = _fstage_shade(
         statics, planes, camera_pos, materials, atlas, light
     )
-    aux = {"vis_d16": vis_d, "vis_tri": vis_t, **gstats, **sstats}
+    aux = {"vis_d16": vis_d, "vis_tri": vis_t, **stats}
     return rgba8, aux
 
 

@@ -446,17 +446,30 @@ class Renderer:
                 rmeta, tbl, tbl_ext,
             )
             _, vis_t, planes = rast_out
-            lowered = [
-                plmod._fstage_transform.lower(*vargs),
-                setup_kernel.triangle_setup.lower(
-                    tblT, absd(b["ltT"]), absd(b["matT"]), cfg,
-                    interpret=self.statics.interpret, tail_rows=ntail,
-                ),
-                plmod._fstage_tail.lower(
-                    self.statics, tblT, absd(b["tri_v"]),
-                    absd(b["tri_mat"]), flags, comb,
-                ),
-                plmod._fstage_sort.lower(self.statics, comb2, keys_m, keys_t),
+            if stt.fused_front_merge:
+                front = [
+                    plmod._fstage_front.lower(
+                        self.statics, *vargs[:5], aomats, aomats,
+                        absd(b["tri_v"]), absd(b["tri_mat"]),
+                        absd(b["ltT"]), absd(b["matT"]),
+                    ),
+                ]
+            else:
+                front = [
+                    plmod._fstage_transform.lower(*vargs),
+                    setup_kernel.triangle_setup.lower(
+                        tblT, absd(b["ltT"]), absd(b["matT"]), cfg,
+                        interpret=self.statics.interpret, tail_rows=ntail,
+                    ),
+                    plmod._fstage_tail.lower(
+                        self.statics, tblT, absd(b["tri_v"]),
+                        absd(b["tri_mat"]), flags, comb,
+                    ),
+                    plmod._fstage_sort.lower(
+                        self.statics, comb2, keys_m, keys_t
+                    ),
+                ]
+            lowered = front + [
                 fused_kernel.rasterize_distribute.lower(
                     rmeta, tbl, tbl_ext, cfg,
                     interpret=self.statics.interpret,

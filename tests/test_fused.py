@@ -315,6 +315,67 @@ def test_fused_meshlets_matches_oracle():
     np.testing.assert_array_equal(np.asarray(fused), o["rgba8"])
 
 
+def test_staged_front_merge_matches():
+    """render_frame_fused_staged with fused_front_merge on (one merged
+    XLA-front program) must be bit-identical to the per-stage form and to
+    render_frame_fused."""
+    import dataclasses
+
+    from ash_renderer_tpu.ops import setup_kernel
+    from ash_renderer_tpu.pipeline import (
+        FrameStatics,
+        render_frame_fused_jit,
+        render_frame_fused_staged,
+    )
+
+    scene = _rand_scene(seed=21, nv=130, nt=180)
+    settings = RendererSettings(width=192, height=128, clip_budget=128)
+    cam = Camera()
+    packed = scene.pack(meshlets=True)
+    cfg = derive_raster_config(192, 128, tile_h=8)
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(192 / 128)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    tri_mat = packed.obj_material[
+        np.clip(packed.tri_obj, 0, len(packed.obj_material) - 1)
+    ]
+    ltT, matT = setup_kernel.prep_static(
+        packed.local_tri, tri_mat, packed.tri_v[:, 0] >= 0
+    )
+    args = (
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+        None, None, None, jnp.asarray(packed.local_tri),
+        jnp.asarray(tri_mat),
+    )
+    kw = dict(ltT=jnp.asarray(ltT), matT=jnp.asarray(matT))
+    outs = {}
+    for merge in (False, True):
+        st = dataclasses.replace(settings, fused_front_merge=merge)
+        statics = FrameStatics(
+            cfg=cfg, settings=st, has_materials=False, has_atlas=False,
+            has_light=False, interpret=True,
+        )
+        outs[merge] = render_frame_fused_staged(statics, *args, **kw)
+    ref_statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=False, has_atlas=False,
+        has_light=False, interpret=True,
+    )
+    ref, _ = render_frame_fused_jit(ref_statics, *args, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(outs[True][0]), np.asarray(outs[False][0])
+    )
+    np.testing.assert_array_equal(np.asarray(outs[True][0]), np.asarray(ref))
+    assert int(np.asarray(outs[True][1]["n_valid"])) == int(
+        np.asarray(outs[False][1]["n_valid"])
+    )
+
+
 def test_tritables_roundtrip():
     su, attrs_full, cfg = _setup()
     comb = np.asarray(tritables.build_comb_table(su, attrs_full, cfg))
