@@ -70,9 +70,201 @@ TILE_H = 8
 TILE_W = 128
 N_PIX = TILE_H * TILE_W
 COMB_USED = 48  # distributed table cols consumed by phase E (0-47)
-OUT_COLS = 24  # phase E output planes: 12 attrs, 4 uv-deriv raws, mat,
-               # winner ids (VIS_ROW), pad
+OUT_COLS = 24  # phase E/F output planes (layouts below) + winner ids + pad
 VIS_ROW = 17  # plane row carrying the tile-flat winner triangle ids
+
+# Phase F plane layout (shade_mode is not None): the surface half of
+# shading runs IN-KERNEL on the VMEM-resident interpolated rows — exactly
+# shade.shade_surface's op sequence up to (but excluding) the atlas quad
+# gather + bilinear lerp + final combine, which stay in XLA
+# (pipeline._shade_from_planes).  Rows:
+#   0-3  P    = color * material base (f32 bits)
+#   4-6  diffuse rgb (f32)          7  spec scalar (f32)
+#   8    lit mask (i32 0/1)         9  bilinear tap index (i32)
+#   10   fu (f32)   11  fv (f32)    12  texmask (i32 0/1)
+#   13-16 zero     17  winner ids   18-23 zero
+F_P, F_DIFF, F_SPEC, F_LIT, F_TAP, F_FU, F_FV, F_TEXMASK = (
+    0, 4, 7, 8, 9, 10, 11, 12
+)
+_MAXL = 13  # textures.MAX_LEVELS (mip table stride)
+
+
+def shade_consts_layout(shade_mode):
+    """Static offsets of the shade-constant scalars appended after rmeta in
+    the kernel's scalar-prefetch array.  shade_mode =
+    (M, T, has_materials, has_atlas, has_light); floats are stored as i32
+    bit patterns (Mosaic has no scalar bitcast, so the kernel reads i32
+    scalars and bitcasts (1, 1) arrays)."""
+    m, t, has_m, has_a, has_l = shade_mode
+    off = {}
+    pos = 0
+
+    def add(name, n):
+        nonlocal pos
+        off[name] = pos
+        pos += n
+
+    if has_m:
+        add("base", m * 4)
+        add("texid", m)
+        add("spec", m)
+        add("shin", m)
+    if has_a:
+        add("loff", t * _MAXL)
+        add("lw", t * _MAXL)
+        add("lh", t * _MAXL)
+        add("nlev", t)
+    if has_l:
+        add("ldir", 3)
+        add("lcol", 3)
+        add("amb", 1)
+    add("cam", 3)
+    off["_total"] = pos
+    return off
+
+
+def _phase_f(planes_ref, rmeta_ref, attr, duv, mat_row, *, cfg, n_tiles,
+             shade_mode):
+    """The in-kernel surface half of shading.  Every formula and operation
+    order matches ops/shade.shade_surface / sample_texture /
+    _mip_from_raws verbatim (channel-row layout instead of channel-last —
+    per-element ops identical, so downstream bits are identical); material
+    / atlas tables are tiny and read as scalar-prefetch select trees
+    (the XLA path's _take uses the same K-way select for small tables)."""
+    m_n, t_n, has_m, has_a, has_l = shade_mode
+    lay = shade_consts_layout(shade_mode)
+    cbase = n_tiles * N_RANGES * RMETA_COLS + 1  # after rmeta + row0
+    F = F32
+
+    def sci(j):  # (1, 1) i32 from the prefetch scalars
+        return jnp.full((1, 1), rmeta_ref[cbase + j], I32)
+
+    def scf(j):
+        return jax.lax.bitcast_convert_type(sci(j), F)
+
+    def tree(getv, idx, k_n):
+        out = getv(0)
+        for k in range(1, k_n):
+            out = jnp.where(idx == I32(k), getv(k), out)
+        return out
+
+    def row(i):
+        return attr[i : i + 1, :]  # (1, N_PIX) f32
+
+    c = [row(i) for i in range(4)]
+    nx, ny, nz = row(4), row(5), row(6)
+    u, v = row(7), row(8)
+    wx, wy, wz = row(9), row(10), row(11)
+    zf = jnp.zeros((1, N_PIX), F)
+    zi = jnp.zeros((1, N_PIX), I32)
+    p = list(c)
+    tap, fu, fv, texmask = zi, zf, zf, zi
+    diffuse = [zf, zf, zf]
+    spec, lit = zf, zi
+
+    if has_m:
+        mat = jnp.clip(mat_row, 0, m_n - 1)
+        ob = lay["base"]
+        for ch in range(4):
+            bch = tree(lambda k, ch=ch: scf(ob + 4 * k + ch), mat, m_n)
+            p[ch] = p[ch] * bch
+        if has_a:
+            durx, dvrx, dury, dvry = duv
+            tex_id = tree(lambda k: sci(lay["texid"] + k), mat, m_n)
+            # _mip_from_raws, verbatim
+            tex_c = jnp.clip(tex_id, 0, t_n - 1)
+            bw = tree(
+                lambda k: sci(lay["lw"] + k * _MAXL), tex_c, t_n
+            ).astype(F)
+            bh = tree(
+                lambda k: sci(lay["lh"] + k * _MAXL), tex_c, t_n
+            ).astype(F)
+            nl = tree(lambda k: sci(lay["nlev"] + k), tex_c, t_n)
+
+            def fp2(dur, dvr):
+                du = dur * bw
+                dv = dvr * bh
+                return du * du + dv * dv
+
+            rho2 = jnp.maximum(fp2(durx, dvrx), fp2(dury, dvry))
+            rho2 = jnp.maximum(rho2, F(1e-20))
+            e2b = sm.float_exponent(rho2, jnp)
+            level = jnp.clip(
+                e2b >> 1, 0, jnp.maximum(nl - 1, 0)
+            ).astype(I32)
+            # sample_texture's addressing half, verbatim
+            flat = tex_c * _MAXL + level
+            off_t = tree(lambda k: sci(lay["loff"] + k), flat, t_n * _MAXL)
+            w_t = tree(lambda k: sci(lay["lw"] + k), flat, t_n * _MAXL)
+            h_t = tree(lambda k: sci(lay["lh"] + k), flat, t_n * _MAXL)
+            u_s = jnp.where(jnp.isfinite(u), u, F(0.0))
+            v_s = jnp.where(jnp.isfinite(v), v, F(0.0))
+            ut = u_s * w_t.astype(F) - F(0.5)
+            vt = v_s * h_t.astype(F) - F(0.5)
+            iu0 = jnp.floor(ut).astype(I32)
+            iv0 = jnp.floor(vt).astype(I32)
+            fu = ut - iu0.astype(F)
+            fv = vt - iv0.astype(F)
+            iu0w = jnp.mod(iu0, w_t)
+            iv0w = jnp.mod(iv0, h_t)
+            tap = off_t + iv0w * w_t + iu0w
+            texmask = (tex_id >= 0).astype(I32)
+
+    if has_l:
+        # shade_surface's lighting, verbatim (channel rows)
+        n2 = sm.dot3(nx, nx, ny, ny, nz, nz)
+        invn = sm.rsqrt_spec(jnp.maximum(n2, F(1e-30)), jnp)
+        nhx, nhy, nhz = nx * invn, ny * invn, nz * invn
+        lit = (n2 > F(1e-12)).astype(I32)
+        ld0 = [scf(lay["ldir"] + i) for i in range(3)]
+        d2 = sm.dot3(ld0[0], ld0[0], ld0[1], ld0[1], ld0[2], ld0[2])
+        invd = sm.rsqrt_spec(jnp.maximum(d2, F(1e-30)), jnp)
+        ldx, ldy, ldz = ld0[0] * invd, ld0[1] * invd, ld0[2] * invd
+        ndotl = jnp.maximum(
+            F(0.0), -sm.dot3(nhx, ldx, nhy, ldy, nhz, ldz)
+        )
+        amb = scf(lay["amb"])
+        for i in range(3):
+            diffuse[i] = amb + ndotl * scf(lay["lcol"] + i)
+        if has_m:
+            sk = tree(lambda k: scf(lay["spec"] + k), mat, m_n)
+            sh = tree(lambda k: sci(lay["shin"] + k), mat, m_n)
+            vx = scf(lay["cam"]) - wx
+            vy = scf(lay["cam"] + 1) - wy
+            vz = scf(lay["cam"] + 2) - wz
+            v2 = sm.dot3(vx, vx, vy, vy, vz, vz)
+            invv = sm.rsqrt_spec(jnp.maximum(v2, F(1e-30)), jnp)
+            vhx, vhy, vhz = vx * invv, vy * invv, vz * invv
+            hx, hy, hz = vhx - ldx, vhy - ldy, vhz - ldz
+            h2 = sm.dot3(hx, hx, hy, hy, hz, hz)
+            invh = sm.rsqrt_spec(jnp.maximum(h2, F(1e-30)), jnp)
+            hhx, hhy, hhz = hx * invh, hy * invh, hz * invh
+            ndoth = jnp.maximum(
+                F(0.0), sm.dot3(nhx, hhx, nhy, hhy, nhz, hhz)
+            )
+            spec = sm.powi(ndoth, sh, 8, jnp) * sk
+
+    def wf(r, x):
+        planes_ref[0, r : r + 1, :] = jax.lax.bitcast_convert_type(
+            jnp.broadcast_to(x, (1, N_PIX)), I32
+        )
+
+    def wi(r, x):
+        planes_ref[0, r : r + 1, :] = jnp.broadcast_to(x, (1, N_PIX))
+
+    for ch in range(4):
+        wf(F_P + ch, p[ch])
+    for i in range(3):
+        wf(F_DIFF + i, diffuse[i])
+    wf(F_SPEC, spec)
+    wi(F_LIT, lit)
+    wi(F_TAP, tap)
+    wf(F_FU, fu)
+    wf(F_FV, fv)
+    wi(F_TEXMASK, texmask)
+    planes_ref[0, F_TEXMASK + 1 : VIS_ROW, :] = jnp.zeros(
+        (VIS_ROW - F_TEXMASK - 1, N_PIX), I32
+    )
 PLANE_ROWS = 64  # distribute accumulator rows (COMB_USED=48 consumed,
                  # rounded to the 8x(8,128) vreg tile; was TBL_COLS=128 —
                  # the extra 64 rows cost a full zero-fill + matmul pass)
@@ -171,6 +363,7 @@ def _kernel(
     n_tiles: int,
     phases: str = "vde",
     seg: int = TILE_W,
+    shade_mode=None,
 ):
     t = pl.program_id(0)
     tile_x = t % gw
@@ -446,12 +639,19 @@ def _kernel(
     pxe = tile_x * TILE_W + (pix % TILE_W)
     pye = (row0 + tile_y) * TILE_H + pix // TILE_W
     attr, duv = interp_fields_stacked(jnp, ge, A0, A1, A2, pxe, pye, cfg)
-    planes_ref[0, 0:12, :] = jax.lax.bitcast_convert_type(attr, I32)
-    for k in range(4):
-        planes_ref[0, 12 + k : 13 + k, :] = jax.lax.bitcast_convert_type(
-            duv[k], I32
+
+    if shade_mode is None:
+        planes_ref[0, 0:12, :] = jax.lax.bitcast_convert_type(attr, I32)
+        for k in range(4):
+            planes_ref[0, 12 + k : 13 + k, :] = (
+                jax.lax.bitcast_convert_type(duv[k], I32)
+            )
+        planes_ref[0, 16:17, :] = orow(9)  # mat
+    else:
+        _phase_f(
+            planes_ref, rmeta_ref, attr, duv, orow(9), cfg=cfg,
+            n_tiles=n_tiles, shade_mode=shade_mode,
         )
-    planes_ref[0, 16:17, :] = orow(9)  # mat
     # row 17: the tile-flat winner ids (phase V's result, already flat in
     # scratch) — shading consumes THIS plane for its validity mask, so the
     # pipeline never re-layouts the (H, W) vis_t output per frame (the
@@ -466,7 +666,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "interpret", "tile_rows", "phases", "seg"),
+    static_argnames=(
+        "cfg", "interpret", "tile_rows", "phases", "seg", "shade_mode"
+    ),
 )
 def rasterize_distribute(
     rmeta,
@@ -477,6 +679,11 @@ def rasterize_distribute(
     tile_rows: int | None = None,
     phases: str = "vde",
     seg: int = TILE_W,
+    shade_mode=None,
+    materials=None,
+    atlas=None,
+    light=None,
+    camera_pos=None,
 ):
     """Run the fused kernel over the tile grid.
 
@@ -488,11 +695,42 @@ def rasterize_distribute(
                 zeros when no pair run is live (pair ranges are empty then).
 
     Returns (vis_d, vis_t, planes) — vis planes cropped to (height, width),
-    planes (n_tiles, 48, 1024) int32 per-pixel shading fields in table-col
-    order, field-major per tile (no lane padding; the pipeline shades
-    tile-flat and relayouts only the final RGBA).
+    planes (n_tiles, 24, 1024) int32 per-pixel shading planes (phase E
+    layout, or the phase F layout when ``shade_mode`` is set), field-major
+    per tile (no lane padding; the pipeline shades tile-flat and relayouts
+    only the final RGBA).
+
+    shade_mode: None (legacy: planes carry interpolated attrs for the XLA
+    shade stage) or the static tuple (M, T, has_materials, has_atlas,
+    has_light) enabling in-kernel phase F surface shading; the
+    materials/atlas/light/camera_pos operands are then packed as scalar-
+    prefetch constants (shade_consts_layout).
     """
     assert cfg.tile_h == TILE_H and cfg.tile_w == TILE_W
+    if shade_mode is not None:
+        fb = lambda x: jax.lax.bitcast_convert_type(
+            jnp.asarray(x, jnp.float32).ravel(), I32
+        )
+        ib = lambda x: jnp.asarray(x, I32).ravel()
+        m_n, t_n, has_m, has_a, has_l = shade_mode
+        parts = [rmeta]
+        if has_m:
+            parts += [
+                fb(materials.base_color), ib(materials.tex_id),
+                fb(materials.specular), ib(materials.shininess),
+            ]
+        if has_a:
+            parts += [
+                ib(atlas.level_offset), ib(atlas.level_w),
+                ib(atlas.level_h), ib(atlas.n_levels),
+            ]
+        if has_l:
+            parts += [
+                fb(light.direction), fb(light.color),
+                fb(jnp.asarray(light.ambient).reshape(1)),
+            ]
+        parts += [fb(camera_pos)]
+        rmeta = jnp.concatenate(parts)
     assert tbl_sorted.shape[1] == TBL_COLS
     assert tbl_ext.shape[1] == TBL_COLS
     # windows stay in bounds iff the table carries >= seg pad slots past
@@ -543,7 +781,7 @@ def rasterize_distribute(
     vis_d, vis_t, planes = pl.pallas_call(
         functools.partial(
             _kernel, cfg=cfg, gw=gw, n_tiles=n_tiles, phases=phases,
-            seg=seg,
+            seg=seg, shade_mode=shade_mode,
         ),
         out_shape=out_shape,
         grid_spec=grid_spec,

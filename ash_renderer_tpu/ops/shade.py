@@ -428,6 +428,51 @@ def shade_surface(
     return xp.where(valid[..., None], rgba, clear)
 
 
+def combine_from_prelight(
+    xp, valid, p_ch, diffuse_ch, spec, lit, tap, fu, fv, texmask,
+    atlas=None, light=None, has_materials=True,
+    clear_color=(0.0, 0.0, 0.0, 1.0),
+):
+    """The post-tap half of shade_surface, consuming the fused kernel's
+    phase F planes: quad gather + bilinear lerp (sample_texture's tap
+    half), texture modulation, lighting combine, background clear.  Every
+    op matches shade_surface's sequence on the same values, so frames are
+    bit-identical to the all-XLA path.
+
+    p_ch: list of 4 (..,) channel arrays (color * base); diffuse_ch: 3
+    channel arrays; spec/lit/tap/fu/fv/texmask per-pixel arrays.  atlas
+    None = no texture stage; light None = no lighting stage."""
+    if atlas is not None:
+        quad = _take(atlas.quads, tap, xp)  # (..., 4) packed texels
+
+        def unpack_ch(t32, ch):
+            return ((t32 >> (8 * ch)) & 255).astype(F32) * F32(1.0 / 255.0)
+
+        tex_on = texmask != 0
+        new_p = []
+        for ch in range(4):
+            c00 = unpack_ch(quad[..., 0], ch)
+            c10 = unpack_ch(quad[..., 1], ch)
+            c01 = unpack_ch(quad[..., 2], ch)
+            c11 = unpack_ch(quad[..., 3], ch)
+            top = sm.lerp(c00, c10, fu)
+            bot = sm.lerp(c01, c11, fu)
+            texel = sm.lerp(top, bot, fv)
+            new_p.append(xp.where(tex_on, p_ch[ch] * texel, p_ch[ch]))
+        p_ch = new_p
+    if light is not None:
+        lit_on = lit != 0
+        rgb = [p_ch[i] * diffuse_ch[i] for i in range(3)]
+        if has_materials:
+            rgb = [rgb[i] + spec * light.color[i] for i in range(3)]
+        p_ch = [
+            xp.where(lit_on, rgb[i], p_ch[i]) for i in range(3)
+        ] + [p_ch[3]]
+    rgba = xp.stack(p_ch, axis=-1)
+    clear = xp.asarray(np.asarray(clear_color, dtype=F32))
+    return xp.where(valid[..., None], rgba, clear)
+
+
 def _mip_from_raws(xp, duv, atlas, tex_id):
     """Nearest mip level from interp_fields' raw uv screen derivatives:
     du = durx * level_w reproduces the analytic plane-identity chain

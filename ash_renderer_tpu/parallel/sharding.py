@@ -149,6 +149,16 @@ def _slab_pipeline_fused(
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret,
         tile_rows=rows_per,
+        shade_mode=plmod.shade_mode_for(
+            statics,
+            materials if statics.has_materials else None,
+            atlas if statics.has_atlas else None,
+            light,
+        ),
+        materials=materials if statics.has_materials else None,
+        atlas=atlas if statics.has_atlas else None,
+        light=light if statics.has_light else None,
+        camera_pos=camera_pos,
     )
     rgba8 = plmod._shade_from_planes(
         statics, planes, camera_pos,

@@ -120,6 +120,23 @@ render_frame_jit = jax.jit(render_frame, static_argnames=("statics",))
 # ---------------------------------------------------------------------------
 
 
+def shade_mode_for(statics, materials, atlas, light):
+    """Static descriptor of the in-kernel phase F shading configuration:
+    (M, T, has_materials, has_atlas, has_light), or None when the scene's
+    material/texture tables are too large for the kernel's scalar select
+    trees (M > 16 or T > 2) — the XLA shade_surface path then runs
+    unchanged.  Derived identically by the raster and shade stages (pure
+    function of statics + table shapes)."""
+    has_m = statics.has_materials and materials is not None
+    has_a = has_m and statics.has_atlas and atlas is not None
+    has_l = statics.has_light and light is not None
+    m_n = materials.base_color.shape[0] if has_m else 0
+    t_n = atlas.level_offset.shape[0] if has_a else 0
+    if (has_m and m_n > 16) or (has_a and t_n > 2):
+        return None
+    return (m_n, t_n, has_m, has_a, has_l)
+
+
 def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
                        light, tile_row0=0):
     """Shade the distributed field planes TILE-FLAT: planes stay in the
@@ -145,23 +162,51 @@ def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
     def f(i):
         return planes[:, i, :]
 
-    # plane layout = the kernel's phase E output: 12 interpolated attr
-    # channels, 4 raw uv screen derivatives, material id
-    attr = [sm_bitcast(f(i)) for i in range(12)]
-    duv = tuple(sm_bitcast(f(12 + k)) for k in range(4))
-    mat_id = f(16)
-    rgba = shade.shade_surface(
-        jnp,
-        valid,
-        attr,
-        mat_id,
-        duv,
-        materials=materials if statics.has_materials else None,
-        atlas=atlas if statics.has_atlas else None,
-        light=light if statics.has_light else None,
-        camera_pos=camera_pos,
-        clear_color=st.clear_color,
+    smode = shade_mode_for(
+        statics,
+        materials if statics.has_materials else None,
+        atlas if statics.has_atlas else None,
+        light,
     )
+    if smode is not None:
+        # phase F planes: the kernel already ran the surface math; only
+        # the quad tap + lerp + combine remain (shade.combine_from_prelight)
+        fk = fused_kernel
+        _, _, has_m, has_a, has_l = smode
+        rgba = shade.combine_from_prelight(
+            jnp,
+            valid,
+            [sm_bitcast(f(fk.F_P + ch)) for ch in range(4)],
+            [sm_bitcast(f(fk.F_DIFF + i)) for i in range(3)],
+            sm_bitcast(f(fk.F_SPEC)),
+            f(fk.F_LIT),
+            f(fk.F_TAP),
+            sm_bitcast(f(fk.F_FU)),
+            sm_bitcast(f(fk.F_FV)),
+            f(fk.F_TEXMASK),
+            atlas=atlas if has_a else None,
+            light=light if has_l else None,
+            has_materials=has_m,
+            clear_color=st.clear_color,
+        )
+    else:
+        # legacy planes: 12 interpolated attr channels, 4 raw uv screen
+        # derivatives, material id — full shade_surface in XLA
+        attr = [sm_bitcast(f(i)) for i in range(12)]
+        duv = tuple(sm_bitcast(f(12 + k)) for k in range(4))
+        mat_id = f(16)
+        rgba = shade.shade_surface(
+            jnp,
+            valid,
+            attr,
+            mat_id,
+            duv,
+            materials=materials if statics.has_materials else None,
+            atlas=atlas if statics.has_atlas else None,
+            light=light if statics.has_light else None,
+            camera_pos=camera_pos,
+            clear_color=st.clear_color,
+        )
 
     def to_image(x):
         img = (
@@ -262,7 +307,17 @@ def render_frame_fused(
         statics, comb, keys
     )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
-        rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret
+        rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret,
+        shade_mode=shade_mode_for(
+            statics,
+            materials if statics.has_materials else None,
+            atlas if statics.has_atlas else None,
+            light,
+        ),
+        materials=materials if statics.has_materials else None,
+        atlas=atlas if statics.has_atlas else None,
+        light=light if statics.has_light else None,
+        camera_pos=camera_pos,
     )
     rgba8 = _shade_from_planes(
         statics, planes, camera_pos, materials, atlas, light
@@ -467,7 +522,17 @@ def render_frame_fused_staged(
         )
         stats = {**gstats, **sstats}
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
-        rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret
+        rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret,
+        shade_mode=shade_mode_for(
+            statics,
+            materials if statics.has_materials else None,
+            atlas if statics.has_atlas else None,
+            light,
+        ),
+        materials=materials if statics.has_materials else None,
+        atlas=atlas if statics.has_atlas else None,
+        light=light if statics.has_light else None,
+        camera_pos=camera_pos,
     )
     rgba8 = _fstage_shade(
         statics, planes, camera_pos, materials, atlas, light

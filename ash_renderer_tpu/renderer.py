@@ -469,10 +469,23 @@ class Renderer:
                         self.statics, comb2, keys_m, keys_t
                     ),
                 ]
+            smode = plmod.shade_mode_for(
+                self.statics,
+                abs_mats if self.statics.has_materials else None,
+                abs_atlas if self.statics.has_atlas else None,
+                abs_light,
+            )
             lowered = front + [
                 fused_kernel.rasterize_distribute.lower(
                     rmeta, tbl, tbl_ext, cfg,
                     interpret=self.statics.interpret,
+                    shade_mode=smode,
+                    materials=(
+                        abs_mats if self.statics.has_materials else None
+                    ),
+                    atlas=abs_atlas if self.statics.has_atlas else None,
+                    light=abs_light if self.statics.has_light else None,
+                    camera_pos=acam,
                 ),
                 plmod._fstage_shade.lower(
                     self.statics, planes, acam, abs_mats,
