@@ -265,7 +265,7 @@ class Renderer:
         self.scene.meshes[mesh_index] = mesh
         self.update_settings(self.settings, self.scene)
 
-    def warmup(self, parallel: bool = True) -> float:
+    def warmup(self, parallel: bool = True, execute: bool = True) -> float:
         """Compile every pipeline stage for the current configuration
         before the first frame, overlapping the per-module XLA compiles in
         threads (the staged fused pipeline is 6 independent modules; the
@@ -500,6 +500,18 @@ class Renderer:
         else:
             for l in lowered:
                 l.compile()
+        if execute:
+            # The AOT compiles above populate the persistent compilation
+            # cache but neither the jit CALL caches (keyed by real calls)
+            # nor the per-program device load (first execution).  One real
+            # frame through the exact render_frame path absorbs trace +
+            # cache-deserialize + device load, so the first user frame
+            # runs at steady-state speed.
+            from .camera import Camera as _Cam
+
+            rgba8, _ = self.render_frame(_Cam())
+            jax.block_until_ready(rgba8)
+            np.asarray(rgba8.ravel()[:4])  # remote backends: force for real
         return _time.perf_counter() - t0
 
     def render_frame(self, camera: Camera, model_mats: np.ndarray = None):

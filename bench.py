@@ -211,6 +211,10 @@ def main():
 
     r = Renderer(scene, settings)
     log(f"pipeline={r.settings.pipeline}")
+    if r.settings.pipeline == "fused":
+        t0 = time.time()
+        r.warmup()  # thread-overlapped per-stage XLA compiles
+        log(f"warmup (parallel compile): {time.time()-t0:.1f}s")
     cam = cams[0]
 
     def force(x):

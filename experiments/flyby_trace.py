@@ -210,7 +210,7 @@ def main():
             flush=True,
         )
 
-    # unforced loop (bench.py's measurement)
+    # unforced loop (bench.py's measurement): unbounded frames in flight
     t0 = time.perf_counter()
     for fc in fcams:
         rgba8, aux = r.render_frame(fc)
@@ -218,6 +218,43 @@ def main():
     mdt = (time.perf_counter() - t0) / len(fcams)
     print(f"bench-style loop: {mdt*1000:.1f} ms/frame = {1/mdt:.2f} FPS",
           flush=True)
+
+    # fence-gated loop: at most 2 frames in flight (the reference's
+    # frames_in_flight semantics, renderer.rs:395-404) — discriminates a
+    # dispatch/allocator pipelining pathology from real per-frame cost
+    from collections import deque
+
+    q = deque()
+    t0 = time.perf_counter()
+    for fc in fcams:
+        rgba8, aux = r.render_frame(fc)
+        q.append(rgba8)
+        if len(q) > 2:
+            force(q.popleft())
+    while q:
+        force(q.popleft())
+    mdt = (time.perf_counter() - t0) / len(fcams)
+    print(f"fence-gated loop (2 in flight): {mdt*1000:.1f} ms/frame = "
+          f"{1/mdt:.2f} FPS", flush=True)
+
+    # and the same two loops for the STATIC camera, as the control
+    t0 = time.perf_counter()
+    for _ in range(24):
+        rgba8, aux = r.render_frame(static_cam)
+    force(rgba8)
+    print(f"static unforced loop: {(time.perf_counter()-t0)/24*1000:.1f} "
+          f"ms/frame", flush=True)
+    q = deque()
+    t0 = time.perf_counter()
+    for _ in range(24):
+        rgba8, aux = r.render_frame(static_cam)
+        q.append(rgba8)
+        if len(q) > 2:
+            force(q.popleft())
+    while q:
+        force(q.popleft())
+    print(f"static fence-gated loop: {(time.perf_counter()-t0)/24*1000:.1f} "
+          f"ms/frame", flush=True)
 
     worst = sorted(rows, key=lambda t: -t[1])[:3]
     for i, *_ in worst:
