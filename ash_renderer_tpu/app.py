@@ -114,12 +114,20 @@ def render_to_images(
     cameras: list[Camera],
     out_dir: str,
     prefix: str = "frame",
+    extra_present: Optional[Callable] = None,
 ) -> list[str]:
-    """Offline render of a camera path to numbered PNGs."""
+    """Offline render of a camera path to numbered PNGs.  extra_present:
+    additional per-frame sink (e.g. a live HttpViewer)."""
     os.makedirs(out_dir, exist_ok=True)
     app = App(scene, settings)
     collector = FrameCollector()
-    app.run_path(cameras, on_present=collector)
+
+    def present(frame):
+        collector(frame)
+        if extra_present is not None:
+            extra_present(frame)
+
+    app.run_path(cameras, on_present=present)
     paths = []
     for i, frame in enumerate(collector.frames):
         p = os.path.join(out_dir, f"{prefix}_{i:04d}.png")
@@ -143,6 +151,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--size", default=None, help="WxH override")
     ap.add_argument("--out", default="./frames")
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve a pixel-accurate live view at "
+                         "http://localhost:PORT/ while rendering")
     args = ap.parse_args(argv)
 
     if args.source in benchmarks.ALL_CONFIGS:
@@ -177,8 +188,16 @@ def main(argv=None):
         cameras = cameras * (args.frames // len(cameras) + 1)
     cameras = cameras[: args.frames]
 
+    viewer = None
+    if args.http is not None:
+        from .present import HttpViewer
+
+        viewer = HttpViewer(args.http)
+        print(f"live view: http://localhost:{viewer.port}/")
     t0 = time.time()
-    paths = render_to_images(scene, settings, cameras, args.out)
+    paths = render_to_images(
+        scene, settings, cameras, args.out, extra_present=viewer
+    )
     dt = time.time() - t0
     print(
         f"rendered {len(paths)} frame(s) at {settings.width}x{settings.height}"

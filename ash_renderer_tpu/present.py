@@ -141,6 +141,119 @@ class TerminalViewer:
         self.stream.flush()
 
 
+class HttpViewer:
+    """Pixel-accurate live view over HTTP — the windowless analogue of the
+    reference's winit window (renderer.rs:86-88) for headless hosts: point
+    a browser at ``http://localhost:<port>/`` to watch the frame loop live.
+
+    Serves:
+      /           a minimal page that re-fetches the frame continuously;
+      /frame.png  the LATEST presented frame, lossless PNG (exact bytes —
+                  unlike the TerminalViewer's downsampled half-blocks);
+      /stats      the renderer's FrameStats summary as JSON (when a stats
+                  object is attached).
+
+    Runs a daemon ThreadingHTTPServer; ``__call__(frame)`` (the FrameRing
+    on_ready signature) swaps in the newest frame — presents never block
+    on encoding (PNG is encoded per request, cached by frame id)."""
+
+    def __init__(self, port: int = 8400, stats=None):
+        import http.server
+        import threading
+
+        self.port = port
+        self.stats = stats
+        self._frame = None
+        self._frame_id = 0
+        self._png_cache = (None, b"")
+        self._lock = threading.Lock()
+        viewer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path.startswith("/frame.png"):
+                    data = viewer._encode_png()
+                    if data is None:
+                        self.send_error(404, "no frame presented yet")
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path.startswith("/stats"):
+                    import json as _json
+
+                    body = _json.dumps(
+                        viewer.stats.summary() if viewer.stats else {}
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    body = (
+                        b"<!doctype html><title>ash_renderer_tpu</title>"
+                        b"<body style='margin:0;background:#111'>"
+                        b"<img id=v style='image-rendering:pixelated;"
+                        b"width:100vw' src=/frame.png>"
+                        b"<script>const v=document.getElementById('v');"
+                        b"function n(){const i=new Image();"
+                        b"i.onload=()=>{v.src=i.src;requestAnimationFrame(n)};"
+                        b"i.onerror=()=>setTimeout(n,250);"
+                        b"i.src='/frame.png?'+Date.now()}n()</script>"
+                    )
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+        self._server = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", port), Handler
+        )
+        self.port = self._server.server_address[1]  # resolved when port=0
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def _encode_png(self):
+        with self._lock:
+            frame, fid = self._frame, self._frame_id
+        if frame is None:
+            return None
+        cid, data = self._png_cache
+        if cid == fid:
+            return data
+        import io
+
+        try:
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(frame, mode="RGBA").save(buf, format="PNG")
+            data = buf.getvalue()
+        except ImportError:  # pragma: no cover
+            return None
+        self._png_cache = (fid, data)
+        return data
+
+    def __call__(self, frame: np.ndarray) -> None:
+        with self._lock:
+            self._frame = frame
+            self._frame_id += 1
+
+    def close(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+
 def write_gif(path: str, frames: list, fps: int = 20) -> None:
     """Animated GIF from RGBA8 frames (flythrough videos) via PIL."""
     from PIL import Image

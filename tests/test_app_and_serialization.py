@@ -138,3 +138,40 @@ def test_app_self_recovering_resize():
     assert app.renderer.settings.height == 80
     shapes = [f.shape for f in coll.frames]
     assert (64, 96, 4) in shapes and (80, 128, 4) in shapes
+
+
+def test_http_viewer_pixel_exact():
+    """present.HttpViewer serves the LATEST presented frame as a lossless
+    PNG: fetching /frame.png must reproduce the frame byte-for-byte (the
+    pixel-accurate live-view contract), and /stats must serve JSON."""
+    import io
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from ash_renderer_tpu.present import HttpViewer
+    from ash_renderer_tpu.utils.profiling import FrameStats
+
+    stats = FrameStats()
+    v = HttpViewer(port=0, stats=stats)  # ephemeral port
+    try:
+        rng = np.random.default_rng(3)
+        f1 = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+        f2 = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+        v(f1)
+        v(f2)  # latest wins
+        url = f"http://127.0.0.1:{v.port}"
+        data = urllib.request.urlopen(f"{url}/frame.png", timeout=10).read()
+        from PIL import Image
+
+        got = np.asarray(Image.open(io.BytesIO(data)))
+        np.testing.assert_array_equal(got, f2)
+        st = json.loads(
+            urllib.request.urlopen(f"{url}/stats", timeout=10).read()
+        )
+        assert st["frames"] == 0
+        html = urllib.request.urlopen(url, timeout=10).read()
+        assert b"frame.png" in html
+    finally:
+        v.close()
