@@ -159,6 +159,62 @@ def flyby_path(n_frames: int):
     return cams
 
 
+def sweep(args):
+    """All benchmark configs, one process: per-config cold-start (warmup +
+    first frame) and steady-state FPS, ending with the headline JSON."""
+    import time as _time
+
+    import jax
+
+    from ash_renderer_tpu.benchmarks import ALL_CONFIGS
+    from ash_renderer_tpu.renderer import Renderer
+
+    log(f"backend: {jax.default_backend()}")
+
+    def force(x):
+        return np.asarray(x.ravel()[:4])
+
+    results = {}
+    headline = None
+    for name, builder in ALL_CONFIGS.items():
+        t0 = _time.time()
+        scene, settings, cams = builder()
+        r = Renderer(scene, settings)
+        wu = 0.0
+        if r.settings.pipeline == "fused":
+            wu = r.warmup()
+        t1 = _time.time()
+        rgba8, aux = r.render_frame(cams[0])
+        force(rgba8)
+        first = _time.time() - t1
+        nf = args.frames
+        t1 = _time.time()
+        for i in range(nf):
+            rgba8, aux = r.render_frame(cams[i % len(cams)])
+        force(rgba8)
+        fps = nf / (_time.time() - t1)
+        results[name] = fps
+        if name == "config4_million_tri":
+            headline = (fps, settings, scene)
+        log(
+            f"{name:22s} {fps:7.2f} FPS  [{r.settings.pipeline}] "
+            f"warmup {wu:5.1f}s first-frame {first:5.2f}s "
+            f"(total cold {_time.time()-t0:5.1f}s)"
+        )
+        del r
+    fps, settings, scene = headline
+    n_tris = sum(m.num_triangles for m in scene.meshes)
+    print(json.dumps({
+        "metric": (
+            f"frames/sec at {settings.width}x{settings.height} on "
+            f"config4_million_tri ({n_tris} tris) [sweep]"
+        ),
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 4),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     # 50 frames: the single end-of-loop readback costs ~30 ms through the
@@ -175,7 +231,14 @@ def main():
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--pipeline", default=None, choices=["classic", "fused"],
                     help="override RendererSettings.pipeline")
+    ap.add_argument("--sweep", action="store_true",
+                    help="run EVERY benchmark config in this one process "
+                         "(shared compilations) and print a summary table; "
+                         "the final JSON line still reports the headline")
     args = ap.parse_args()
+
+    if args.sweep:
+        return sweep(args)
 
     import jax
 
