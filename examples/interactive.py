@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--cols", type=int, default=100)
     ap.add_argument("--frames", type=int, default=0,
                     help="auto-quit after N frames (0 = until Q)")
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="also serve the pixel-accurate live view at "
+                         "http://localhost:PORT/")
     args = ap.parse_args()
 
     w, h = (int(v) for v in args.size.split("x"))
@@ -60,7 +63,18 @@ def main():
 
     settings = dataclasses.replace(settings, width=w, height=h)
     app = App(scene, settings, camera=cams[0], speed=0.05, mouse_sens=0.05)
-    viewer = TerminalViewer(max_cols=args.cols)
+    term = TerminalViewer(max_cols=args.cols)
+    http = None
+    if args.http is not None:
+        from ash_renderer_tpu.present import HttpViewer
+
+        http = HttpViewer(args.http, stats=app.renderer.stats)
+        print(f"live view: http://localhost:{http.port}/", flush=True)
+
+    def viewer(frame):
+        term(frame)
+        if http is not None:
+            http(frame)
 
     interactive = sys.stdin.isatty()
     if interactive:
