@@ -80,6 +80,11 @@ class RendererSettings:
     # mode is slow on CPU). Bit-identical outputs (tests/test_fused.py,
     # tests/test_setup_kernel.py).
     pipeline: str = "auto"
+    # Fused-kernel framebuffer tile height (4 or 8).  8 is the default;
+    # 4 halves the pixel rows each streamed slot evaluates (phase V work)
+    # at the cost of 2x grid steps and slightly more spill/wide rows —
+    # an A/B knob for hardware measurement.
+    fused_tile_h: int = 8
     # Multi-chip rendering: render over the first n jax devices as a 1-D
     # framebuffer-row mesh (parallel/sharding.py); None = single device.
     # Any resolution works: an indivisible tile-row count is padded up

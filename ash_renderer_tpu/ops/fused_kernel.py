@@ -66,7 +66,7 @@ I8 = np.int8
 N_RANGES = 6
 RMETA_COLS = 2  # rs, re per (tile, range)
 GRP_T = 32  # triangles per visibility evaluation group (sublane dim)
-TILE_H = 8
+TILE_H = 8  # default tile height; kernels honor cfg.tile_h (4 or 8)
 TILE_W = 128
 N_PIX = TILE_H * TILE_W
 COMB_USED = 48  # distributed table cols consumed by phase E (0-47)
@@ -132,6 +132,7 @@ def _phase_f(planes_ref, rmeta_ref, attr, duv, mat_row, *, cfg, n_tiles,
     / atlas tables are tiny and read as scalar-prefetch select trees
     (the XLA path's _take uses the same K-way select for small tables)."""
     m_n, t_n, has_m, has_a, has_l = shade_mode
+    n_pix = cfg.tile_h * TILE_W
     lay = shade_consts_layout(shade_mode)
     cbase = n_tiles * N_RANGES * RMETA_COLS + 1  # after rmeta + row0
     F = F32
@@ -149,14 +150,14 @@ def _phase_f(planes_ref, rmeta_ref, attr, duv, mat_row, *, cfg, n_tiles,
         return out
 
     def row(i):
-        return attr[i : i + 1, :]  # (1, N_PIX) f32
+        return attr[i : i + 1, :]  # (1, n_pix) f32
 
     c = [row(i) for i in range(4)]
     nx, ny, nz = row(4), row(5), row(6)
     u, v = row(7), row(8)
     wx, wy, wz = row(9), row(10), row(11)
-    zf = jnp.zeros((1, N_PIX), F)
-    zi = jnp.zeros((1, N_PIX), I32)
+    zf = jnp.zeros((1, n_pix), F)
+    zi = jnp.zeros((1, n_pix), I32)
     p = list(c)
     tap, fu, fv, texmask = zi, zf, zf, zi
     diffuse = [zf, zf, zf]
@@ -246,11 +247,11 @@ def _phase_f(planes_ref, rmeta_ref, attr, duv, mat_row, *, cfg, n_tiles,
 
     def wf(r, x):
         planes_ref[0, r : r + 1, :] = jax.lax.bitcast_convert_type(
-            jnp.broadcast_to(x, (1, N_PIX)), I32
+            jnp.broadcast_to(x, (1, n_pix)), I32
         )
 
     def wi(r, x):
-        planes_ref[0, r : r + 1, :] = jnp.broadcast_to(x, (1, N_PIX))
+        planes_ref[0, r : r + 1, :] = jnp.broadcast_to(x, (1, n_pix))
 
     for ch in range(4):
         wf(F_P + ch, p[ch])
@@ -263,7 +264,7 @@ def _phase_f(planes_ref, rmeta_ref, attr, duv, mat_row, *, cfg, n_tiles,
     wf(F_FV, fv)
     wi(F_TEXMASK, texmask)
     planes_ref[0, F_TEXMASK + 1 : VIS_ROW, :] = jnp.zeros(
-        (VIS_ROW - F_TEXMASK - 1, N_PIX), I32
+        (VIS_ROW - F_TEXMASK - 1, n_pix), I32
     )
 PLANE_ROWS = 64  # distribute accumulator rows (COMB_USED=48 consumed,
                  # rounded to the 8x(8,128) vreg tile; was TBL_COLS=128 —
@@ -366,6 +367,8 @@ def _kernel(
     shade_mode=None,
 ):
     t = pl.program_id(0)
+    th = cfg.tile_h  # 8 (default) or 4; lanes are always the 128 columns
+    n_pix = th * TILE_W
     tile_x = t % gw
     tile_y = t // gw
     # window origin (slab tile row under shard_map; 0 full-frame)
@@ -374,13 +377,13 @@ def _kernel(
     half = ss // 2
     min_c = I32(cfg.min_coord)
     sx0 = (tile_x * TILE_W) * ss + half  # tile-corner pixel sample coords
-    sy0 = ((row0 + tile_y) * TILE_H) * ss + half
+    sy0 = ((row0 + tile_y) * th) * ss + half
 
     if phases == "z":  # probe mode: the structural floor — grid loop +
         # output-block DMAs only, zero compute/streaming
-        vis_d_ref[:] = jnp.zeros((TILE_H, TILE_W), I32)
-        vis_t_ref[:] = jnp.zeros((TILE_H, TILE_W), I32)
-        planes_ref[0, :, :] = jnp.zeros((OUT_COLS, N_PIX), I32)
+        vis_d_ref[:] = jnp.zeros((th, TILE_W), I32)
+        vis_t_ref[:] = jnp.zeros((th, TILE_W), I32)
+        planes_ref[0, :, :] = jnp.zeros((OUT_COLS, n_pix), I32)
         return
 
     colp = jax.lax.broadcasted_iota(I32, (1, TILE_W), 1)
@@ -458,7 +461,7 @@ def _kernel(
         e2 = sm.edge_at(a2, b2, x0, y0, sx0, sy0) + (a2 * ss) * colp
         bss0, bss1, bss2 = b0 * ss, b1 * ss, b2 * ss
 
-        for r in range(TILE_H):
+        for r in range(th):
             cov = (e0 >= t0) & (e1 >= t1) & (e2 >= t2)
             d16 = sm.interp_depth16(e0, e1, e2, inv_area, zq0, zq1, zq2, jnp)
             dmask = jnp.where(cov, d16, I32(sm.DEPTH_MAX + 1))
@@ -471,15 +474,15 @@ def _kernel(
             better = sm.depth_key_better(dmin, twin, acc_d[r], acc_t[r])
             acc_d[r] = jnp.where(better, dmin, acc_d[r])
             acc_t[r] = jnp.where(better, twin, acc_t[r])
-            if r + 1 < TILE_H:
+            if r + 1 < th:
                 e0 = e0 + bss0
                 e1 = e1 + bss1
                 e2 = e2 + bss2
         return acc_d, acc_t
 
     # ---------------- Phase V: visibility ----------------
-    acc_d = [jnp.full((1, TILE_W), sm.DEPTH_MAX, I32) for _ in range(TILE_H)]
-    acc_t = [jnp.full((1, TILE_W), sm.BG_TRI, I32) for _ in range(TILE_H)]
+    acc_d = [jnp.full((1, TILE_W), sm.DEPTH_MAX, I32) for _ in range(th)]
+    acc_t = [jnp.full((1, TILE_W), sm.BG_TRI, I32) for _ in range(th)]
     acc = tuple(acc_d + acc_t)
 
     if "v" in phases:
@@ -512,7 +515,7 @@ def _kernel(
                 blk_g = recs_s[pl.ds(off, GRP_T), 0:6]
                 ids_g = recs_s[pl.ds(off, GRP_T), 6:7]
                 acc_d, acc_t = eval_group(
-                    blk_g, ids_g, (list(acc[:TILE_H]), list(acc[TILE_H:]))
+                    blk_g, ids_g, (list(acc[:th]), list(acc[th:]))
                 )
                 return tuple(acc_d + acc_t)
 
@@ -520,17 +523,17 @@ def _kernel(
 
         acc = jax.lax.fori_loop(0, nsw, sw_body, acc)
 
-    acc_d = list(acc[:TILE_H])
-    acc_t = list(acc[TILE_H:])
+    acc_d = list(acc[:th])
+    acc_t = list(acc[th:])
     vis_d_ref[:] = jnp.concatenate(acc_d, axis=0)
     vis_t_ref[:] = jnp.concatenate(acc_t, axis=0)
 
     # ---------------- Phase D: shading distribute ----------------
-    for r in range(TILE_H):
+    for r in range(th):
         flat_s[0:1, TILE_W * r : TILE_W * (r + 1)] = acc_t[r]
     flatv = flat_s[:]  # (1, 1024) winner tri ids
 
-    zero_p = jnp.zeros((PLANE_ROWS, N_PIX), I32)
+    zero_p = jnp.zeros((PLANE_ROWS, n_pix), I32)
     out_p0[...] = zero_p
     out_p1[...] = zero_p
     out_p2[...] = zero_p
@@ -596,7 +599,7 @@ def _kernel(
 
     # ---------------- Phase E: interpolation ----------------
     if "e" not in phases:  # probe mode: keep output shape, skip the work
-        planes_ref[0, :, :] = jnp.zeros((OUT_COLS, N_PIX), I32)
+        planes_ref[0, :, :] = jnp.zeros((OUT_COLS, n_pix), I32)
         return
 
     # The interpolation half of shading runs here on the VMEM-resident
@@ -635,9 +638,9 @@ def _kernel(
     A0 = jax.lax.bitcast_convert_type(o[10:22, :], F32)
     A1 = jax.lax.bitcast_convert_type(o[22:34, :], F32)
     A2 = jax.lax.bitcast_convert_type(o[34:46, :], F32)
-    pix = jax.lax.broadcasted_iota(I32, (1, N_PIX), 1)
+    pix = jax.lax.broadcasted_iota(I32, (1, n_pix), 1)
     pxe = tile_x * TILE_W + (pix % TILE_W)
-    pye = (row0 + tile_y) * TILE_H + pix // TILE_W
+    pye = (row0 + tile_y) * th + pix // TILE_W
     attr, duv = interp_fields_stacked(jnp, ge, A0, A1, A2, pxe, pye, cfg)
 
     if shade_mode is None:
@@ -660,7 +663,7 @@ def _kernel(
     # pad rows: zero-fill so the planes output never carries stale VMEM
     # bytes (bit-for-bit discipline for any future consumer/debug dump)
     planes_ref[0, VIS_ROW + 1 : OUT_COLS, :] = jnp.zeros(
-        (OUT_COLS - VIS_ROW - 1, N_PIX), I32
+        (OUT_COLS - VIS_ROW - 1, n_pix), I32
     )
 
 
@@ -706,7 +709,9 @@ def rasterize_distribute(
     materials/atlas/light/camera_pos operands are then packed as scalar-
     prefetch constants (shade_consts_layout).
     """
-    assert cfg.tile_h == TILE_H and cfg.tile_w == TILE_W
+    assert cfg.tile_h in (4, 8) and cfg.tile_w == TILE_W
+    th = cfg.tile_h
+    n_pix = th * TILE_W
     if shade_mode is not None:
         fb = lambda x: jax.lax.bitcast_convert_type(
             jnp.asarray(x, jnp.float32).ravel(), I32
@@ -744,17 +749,17 @@ def rasterize_distribute(
     n_tiles = tile_rows * gw
     grid = (n_tiles,)
     out_shape = (
-        jax.ShapeDtypeStruct((tile_rows * TILE_H, gw * TILE_W), I32),
-        jax.ShapeDtypeStruct((tile_rows * TILE_H, gw * TILE_W), I32),
-        jax.ShapeDtypeStruct((n_tiles, OUT_COLS, N_PIX), I32),
+        jax.ShapeDtypeStruct((tile_rows * th, gw * TILE_W), I32),
+        jax.ShapeDtypeStruct((tile_rows * th, gw * TILE_W), I32),
+        jax.ShapeDtypeStruct((n_tiles, OUT_COLS, n_pix), I32),
     )
     block = pl.BlockSpec(
-        (TILE_H, TILE_W),
+        (th, TILE_W),
         lambda t, *_: (t // gw, t % gw),
         memory_space=pltpu.VMEM,
     )
     planes_block = pl.BlockSpec(
-        (1, OUT_COLS, N_PIX),
+        (1, OUT_COLS, n_pix),
         lambda t, *_: (t, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -770,11 +775,11 @@ def rasterize_distribute(
             pltpu.VMEM((N_RANGES, seg, TBL_COLS), I32),
             pltpu.VMEM((seg, TBL_COLS), I32),
             pltpu.VMEM((seg, 8), I32),
-            pltpu.VMEM((1, N_PIX), I32),
-            pltpu.VMEM((PLANE_ROWS, N_PIX), I32),
-            pltpu.VMEM((PLANE_ROWS, N_PIX), I32),
-            pltpu.VMEM((PLANE_ROWS, N_PIX), I32),
-            pltpu.VMEM((PLANE_ROWS, N_PIX), I32),
+            pltpu.VMEM((1, n_pix), I32),
+            pltpu.VMEM((PLANE_ROWS, n_pix), I32),
+            pltpu.VMEM((PLANE_ROWS, n_pix), I32),
+            pltpu.VMEM((PLANE_ROWS, n_pix), I32),
+            pltpu.VMEM((PLANE_ROWS, n_pix), I32),
             pltpu.SemaphoreType.DMA((N_RANGES,)),
         ],
     )

@@ -150,7 +150,7 @@ def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
     nonzero the caller guarantees the slab needs no row crop."""
     cfg = statics.cfg
     st = statics.settings
-    th, tw = fused_kernel.TILE_H, fused_kernel.TILE_W
+    th, tw = cfg.tile_h, fused_kernel.TILE_W
     gw = cfg.grid_w
     n_tiles = planes.shape[0]
     gh = n_tiles // gw

@@ -207,8 +207,8 @@ class Renderer:
         self.cfg = derive_raster_config(
             st.render_width,
             st.render_height,
-            # the fused kernel's sublane-group layout is tile_h=8 exactly
-            tile_h=8 if st.pipeline == "fused" else 16,
+            # fused kernel tiles are (fused_tile_h x 128); classic is 16x128
+            tile_h=st.fused_tile_h if st.pipeline == "fused" else 16,
         )
         self.statics = FrameStatics(
             cfg=self.cfg,

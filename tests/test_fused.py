@@ -315,6 +315,42 @@ def test_fused_meshlets_matches_oracle():
     np.testing.assert_array_equal(np.asarray(fused), o["rgba8"])
 
 
+def test_fused_tile_h4_matches_oracle():
+    """The tile_h=4 kernel variant (RasterConfig.tile_h=4) must equal the
+    oracle bit-for-bit — semantics are tiling-independent."""
+    from ash_renderer_tpu.oracle import render_oracle
+    from ash_renderer_tpu.pipeline import FrameStatics, render_frame_fused_jit
+
+    scene = _rand_scene(seed=31, nv=140, nt=200)
+    settings = RendererSettings(width=192, height=120, clip_budget=128,
+                                fused_tile_h=4)
+    cam = Camera()
+    packed = scene.pack(meshlets=True)
+    cfg = derive_raster_config(192, 120, tile_h=4)
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(192 / 120)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=False, has_atlas=False,
+        has_light=False, interpret=True,
+    )
+    fused, aux = render_frame_fused_jit(
+        statics,
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+        None, None, None, jnp.asarray(packed.local_tri),
+    )
+    o = render_oracle(packed, mm, view, proj, settings, cfg=cfg)
+    assert int((o["vis_tri"] >= 0).sum()) > 300
+    np.testing.assert_array_equal(np.asarray(aux["vis_tri"]), o["vis_tri"])
+    np.testing.assert_array_equal(np.asarray(fused), o["rgba8"])
+
+
 def test_staged_front_merge_matches():
     """render_frame_fused_staged with fused_front_merge on (one merged
     XLA-front program) must be bit-identical to the per-stage form and to
