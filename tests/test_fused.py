@@ -351,6 +351,84 @@ def test_fused_tile_h4_matches_oracle():
     np.testing.assert_array_equal(np.asarray(fused), o["rgba8"])
 
 
+def test_fused_supersampled_two_textures_matches_oracle():
+    """config5's shape: fused pipeline + 4x SSAA + TWO textures + lighting
+    + specular — exercises phase F's mip/tap select trees at T=2 and the
+    supersample resolve on the phase-F combine path."""
+    from ash_renderer_tpu import DirectionalLight, Material
+    from ash_renderer_tpu.oracle import render_oracle
+    from ash_renderer_tpu.pipeline import FrameStatics, render_frame_fused_jit
+    from ash_renderer_tpu.rtypes import LightPack, MaterialsPack
+    from ash_renderer_tpu.textures import TextureAtlas, checkerboard
+
+    rng = np.random.default_rng(17)
+    nv, nt = 90, 70
+    pos = rng.uniform(-1.5, 1.5, (nv, 3)).astype(np.float32)
+    pos[:, 2] += 3.0
+    mesh = Mesh(
+        positions=pos,
+        indices=rng.integers(0, nv, (nt, 3)).astype(np.int32),
+        colors=rng.uniform(0.2, 1, (nv, 4)).astype(np.float32),
+        uvs=rng.uniform(0, 2, (nv, 2)).astype(np.float32),
+    ).compute_normals()
+    scene = Scene(
+        materials=[
+            Material(texture_id=0, specular=0.5, shininess=32),
+            Material(texture_id=1, specular=0.2, shininess=8),
+        ],
+        light=DirectionalLight(direction=(0.4, -0.6, 0.7), ambient=0.2),
+    )
+    o1 = scene.add_object(SceneObject(mesh=scene.add_mesh(mesh), material=0))
+    scene.add_object(
+        SceneObject(mesh=0, material=1,
+                    model=np.diag([1, 1, 1, 1]).astype(np.float32))
+    )
+    atlas = TextureAtlas.build([checkerboard(64), checkerboard(32)])
+    settings = RendererSettings(width=96, height=64, supersample=2,
+                                clip_budget=64)
+    cam = Camera()
+    packed = scene.pack(meshlets=True)
+    cfg = derive_raster_config(
+        settings.render_width, settings.render_height, tile_h=8
+    )
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(settings.render_width / settings.render_height)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    mats = MaterialsPack(
+        base_color=np.array([m.base_color for m in scene.materials], np.float32),
+        tex_id=np.array([m.texture_id for m in scene.materials], np.int32),
+        specular=np.array([m.specular for m in scene.materials], np.float32),
+        shininess=np.array([m.shininess for m in scene.materials], np.int32),
+    )
+    light = LightPack(
+        direction=np.asarray(scene.light.direction, np.float32),
+        color=np.asarray(scene.light.color, np.float32),
+        ambient=np.float32(scene.light.ambient),
+    )
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=True, has_atlas=True,
+        has_light=True, interpret=True,
+    )
+    fused, aux = render_frame_fused_jit(
+        statics,
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+        mats, atlas, light, jnp.asarray(packed.local_tri),
+    )
+    o = render_oracle(
+        packed, mm, view, proj, settings, materials=mats, atlas=atlas,
+        light=light, camera_pos=cam.position.astype(np.float32), cfg=cfg,
+    )
+    assert int((o["vis_tri"] >= 0).sum()) > 200
+    np.testing.assert_array_equal(np.asarray(aux["vis_tri"]), o["vis_tri"])
+    np.testing.assert_array_equal(np.asarray(fused), o["rgba8"])
+
+
 def test_staged_front_merge_matches():
     """render_frame_fused_staged with fused_front_merge on (one merged
     XLA-front program) must be bit-identical to the per-stage form and to
