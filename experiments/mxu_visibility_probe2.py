@@ -47,7 +47,7 @@ def mk_inputs(seed=0):
     # per-slot records: corner coords in a 2048-subpixel box near the tile
     recs = rng.integers(0, 2048, (NT, NG * GRP, 6), dtype=np.int32)
     zq = rng.integers(0, 65535, (NT, NG * GRP, 3), dtype=np.int32)
-    inv = (1.0 / rng.uniform(8, 5000, (NT, NG * GRP))).astype(np.float32)
+    inv = (1.0 / rng.uniform(8, 5000, (NT, 1, NG * GRP))).astype(np.float32)
     return jnp.asarray(recs), jnp.asarray(zq), jnp.asarray(inv)
 
 
@@ -61,7 +61,7 @@ def kernel_vpu(recs_ref, zq_ref, inv_ref, out_d, out_t):
     for g in range(NG):
         blk = recs_ref[0, g * GRP:(g + 1) * GRP, :]  # (GRP, 6)
         zqg = zq_ref[0, g * GRP:(g + 1) * GRP, :]
-        invg = inv_ref[0, g * GRP:(g + 1) * GRP]
+        invg = inv_ref[0, 0, g * GRP:(g + 1) * GRP]
         x0, y0 = blk[:, 0:1], blk[:, 1:2]
         x1, y1 = blk[:, 2:3], blk[:, 3:4]
         x2, y2 = blk[:, 4:5], blk[:, 5:6]
@@ -94,8 +94,8 @@ def kernel_vpu(recs_ref, zq_ref, inv_ref, out_d, out_t):
                 e0 = e0 + b0 * 16
                 e1 = e1 + b1 * 16
                 e2 = e2 + b2 * 16
-    out_d[:] = jnp.concatenate(acc_d, axis=0)
-    out_t[:] = jnp.concatenate(acc_t, axis=0)
+    out_d[0] = jnp.concatenate(acc_d, axis=0)
+    out_t[0] = jnp.concatenate(acc_t, axis=0)
 
 
 def kernel_mxu(coef_ref, z_ref, out_d, out_t, *, exact: bool):
@@ -145,8 +145,8 @@ def kernel_mxu(coef_ref, z_ref, out_d, out_t, *, exact: bool):
         better = (dmin < acc_d) | ((dmin == acc_d) & (twin > acc_t))
         acc_d = jnp.where(better, dmin, acc_d)
         acc_t = jnp.where(better, twin, acc_t)
-    out_d[:] = acc_d.astype(I32).reshape(TH, TW)
-    out_t[:] = acc_t.reshape(TH, TW)
+    out_d[0] = acc_d.astype(I32).reshape(TH, TW)
+    out_t[0] = acc_t.reshape(TH, TW)
 
 
 def run_vpu(recs, zq, inv):
@@ -162,7 +162,7 @@ def run_vpu(recs, zq, inv):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NG * GRP, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NG * GRP), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, NG * GRP), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
