@@ -381,8 +381,12 @@ def _kernel(
 
     if phases == "z":  # probe mode: the structural floor — grid loop +
         # output-block DMAs only, zero compute/streaming
-        vis_d_ref[:] = jnp.zeros((th, TILE_W), I32)
-        vis_t_ref[:] = jnp.zeros((th, TILE_W), I32)
+        if th == 8:
+            vis_d_ref[:] = jnp.zeros((th, TILE_W), I32)
+            vis_t_ref[:] = jnp.zeros((th, TILE_W), I32)
+        else:
+            vis_d_ref[0] = jnp.zeros((th, TILE_W), I32)
+            vis_t_ref[0] = jnp.zeros((th, TILE_W), I32)
         planes_ref[0, :, :] = jnp.zeros((OUT_COLS, n_pix), I32)
         return
 
@@ -525,8 +529,15 @@ def _kernel(
 
     acc_d = list(acc[:th])
     acc_t = list(acc[th:])
-    vis_d_ref[:] = jnp.concatenate(acc_d, axis=0)
-    vis_t_ref[:] = jnp.concatenate(acc_t, axis=0)
+    # th=8 vis blocks are 2-D (th, 128); th=4 blocks are 3-D (1, th, 128)
+    # because Mosaic requires the output block sublane dim be divisible by
+    # 8 or equal to the array dim — (tile_rows, th, gw*128) satisfies it
+    if th == 8:
+        vis_d_ref[:] = jnp.concatenate(acc_d, axis=0)
+        vis_t_ref[:] = jnp.concatenate(acc_t, axis=0)
+    else:
+        vis_d_ref[0] = jnp.concatenate(acc_d, axis=0)
+        vis_t_ref[0] = jnp.concatenate(acc_t, axis=0)
 
     # ---------------- Phase D: shading distribute ----------------
     for r in range(th):
@@ -748,15 +759,28 @@ def rasterize_distribute(
     gw = cfg.grid_w
     n_tiles = tile_rows * gw
     grid = (n_tiles,)
+    if th == 8:
+        vis_sd = jax.ShapeDtypeStruct((tile_rows * th, gw * TILE_W), I32)
+        block = pl.BlockSpec(
+            (th, TILE_W),
+            lambda t, *_: (t // gw, t % gw),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        # Mosaic requires the output block's sublane dim divisible by 8 or
+        # equal to the array dim; a (th, 128) block with th=4 violates it,
+        # so the vis outputs go out 3-D (tile_rows, th, gw*128) with
+        # (1, th, 128) blocks and are reshaped to (H, W) after the call
+        vis_sd = jax.ShapeDtypeStruct((tile_rows, th, gw * TILE_W), I32)
+        block = pl.BlockSpec(
+            (1, th, TILE_W),
+            lambda t, *_: (t // gw, 0, t % gw),
+            memory_space=pltpu.VMEM,
+        )
     out_shape = (
-        jax.ShapeDtypeStruct((tile_rows * th, gw * TILE_W), I32),
-        jax.ShapeDtypeStruct((tile_rows * th, gw * TILE_W), I32),
+        vis_sd,
+        vis_sd,
         jax.ShapeDtypeStruct((n_tiles, OUT_COLS, n_pix), I32),
-    )
-    block = pl.BlockSpec(
-        (th, TILE_W),
-        lambda t, *_: (t // gw, t % gw),
-        memory_space=pltpu.VMEM,
     )
     planes_block = pl.BlockSpec(
         (1, OUT_COLS, n_pix),
@@ -792,6 +816,9 @@ def rasterize_distribute(
         grid_spec=grid_spec,
         interpret=interpret,
     )(rmeta, tbl_sorted, tbl_ext)
+    if th != 8:
+        vis_d = vis_d.reshape(tile_rows * th, gw * TILE_W)
+        vis_t = vis_t.reshape(tile_rows * th, gw * TILE_W)
     if full:
         return (
             vis_d[: cfg.height, : cfg.width],

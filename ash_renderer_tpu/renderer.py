@@ -265,162 +265,150 @@ class Renderer:
         self.scene.meshes[mesh_index] = mesh
         self.update_settings(self.settings, self.scene)
 
-    def warmup(self, parallel: bool = True, execute: bool = True) -> float:
-        """Compile every pipeline stage for the current configuration
-        before the first frame, overlapping the per-module XLA compiles in
-        threads (the staged fused pipeline is 6 independent modules; the
-        compile service accepts concurrent requests, so wall time drops
-        from the ~sum to ~the max — measured 17 s for all six at a fresh
-        1024x768 config).  Uses abstract (shape-only) arguments via
-        jax.eval_shape — no device work.  Returns seconds spent.
+    def warmup(self, parallel: bool = True, execute: bool = True,
+               verbose: bool = False) -> float:
+        """Warm every pipeline stage for the current configuration by
+        CALLING the real per-stage jits with dummy device inputs, in
+        parallel threads, then running one real frame.
 
-        Note (this container's remote-TPU tunnel): cold first-FRAME latency
-        is dominated by per-program device load at first execution
-        (~minutes for a fresh shape), which no amount of compile warmup
-        removes; with the persistent compilation cache
-        (JAX_COMPILATION_CACHE_DIR) warm, the first frame is ~45-55 s at
-        the 1080p headline."""
+        Why calls and not AOT: ``.lower().compile()`` populates only the
+        persistent compilation cache — the jit CALL cache is keyed by real
+        calls, so the first frame after an AOT warmup re-traces and
+        re-deserializes every stage (paying trace + cache-deserialize
+        twice) and still does the per-program device load serially.  A
+        dummy call through each stage jit warms trace + compile/deserialize
+        + device load in ONE pass on the exact call path real frames use;
+        running the stage calls in threads overlaps the GIL-free parts
+        (deserialize, device load) across stages.  Dummy inputs are zeros
+        (empty runs / identity matrices), so the device work per stage is
+        one steady-state execution.  Returns seconds spent.
+
+        Note (this container's remote-TPU tunnel): the irreducible floor is
+        per-program device load at first execution; single-program paths
+        (multi-chip, classic unstaged) simply run one real frame."""
         import concurrent.futures
         import time as _time
 
         from . import pipeline as plmod
+        from .camera import Camera as _Cam
         from .ops import fused_kernel, setup_kernel
 
         t0 = _time.perf_counter()
+
+        def say(msg):
+            if verbose:
+                import sys as _sys
+
+                print(f"warmup: {msg} [{_time.perf_counter()-t0:.1f}s]",
+                      file=_sys.stderr, flush=True)
+
+        def finish_real_frame():
+            # one real frame through the exact render_frame path: absorbs
+            # anything the dummy calls missed (host-side matrix composition,
+            # the aux pytree, present-path conversions)
+            if execute:
+                rgba8, _ = self.render_frame(_Cam())
+                jax.block_until_ready(rgba8)
+                np.asarray(rgba8.ravel()[:4])  # remote backends: force
+                say("real frame done")
+            return _time.perf_counter() - t0
+
         st = self.settings
         b = self._buffers
-        if self._sharded_fn is not None:
-            # multi-chip path: one jitted module; warm it from abstract args
-            # shaped like the replicated buffers
-            sds_of = lambda a: jax.ShapeDtypeStruct(
-                a.shape, a.dtype, sharding=a.sharding
-            )
-            o = self.scene.model_matrices().shape[0]
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            repl = NamedSharding(self.mesh, PartitionSpec())
-            mat4 = jax.ShapeDtypeStruct((o, 4, 4), np.float32, sharding=repl)
-            cam3 = jax.ShapeDtypeStruct((3,), np.float32, sharding=repl)
-            tree_abs = lambda t: jax.tree.map(sds_of, t)
-            common = (
-                sds_of(b["positions"]), sds_of(b["vert_obj"]),
-                sds_of(b["normals"]), sds_of(b["colors"]), sds_of(b["uvs"]),
-                sds_of(b["tri_v"]), sds_of(b["tri_obj"]),
-                sds_of(b["obj_material"]), mat4, mat4, cam3,
-                tree_abs(self.materials),
-                tree_abs(self.atlas) if self.atlas else None,
-                tree_abs(self.light) if self.light else None,
-            )
-            if st.pipeline == "fused":
-                tail = (sds_of(b["tri_mat"]), sds_of(b["ltT"]),
-                        sds_of(b["matT"]))
-            else:
-                tail = (
-                    sds_of(b["local_tri"])
-                    if b["local_tri"] is not None
-                    else None,
-                )
-            self._sharded_fn.lower(*common, *tail).compile()
-            # The AOT compile above populates the persistent compilation
-            # cache but NOT the jit call cache (that is keyed by actual
-            # calls), so the first real frame would still pay a trace +
-            # (cached) compile.  Run one real frame through the exact
-            # render_frame path to warm the call cache end to end.
-            from .camera import Camera as _Cam
-
-            rgba8, _ = self.render_frame(_Cam())
-            jax.block_until_ready(rgba8)
-            return _time.perf_counter() - t0
-        sds = jax.ShapeDtypeStruct
-        f32, i32 = np.float32, np.int32
-        o = self.scene.model_matrices().shape[0]
-        aomats = sds((o, 4, 4), f32)
-        acam = sds((3,), f32)
-        absd = lambda a: sds(a.shape, a.dtype)
-        abs_mats = jax.tree.map(absd, self.materials)
-        abs_atlas = jax.tree.map(absd, self.atlas) if self.atlas else None
-        abs_light = jax.tree.map(absd, self.light) if self.light else None
-
-        # mirror render_frame()'s actual argument signature: it always
-        # passes the device tri_mat buffer (and local_tri when meshlets
-        # exist), so warming with None there would compile an executable
-        # the first frame never hits
-        abslt = absd(b["local_tri"]) if b["local_tri"] is not None else None
-        abstm = absd(b["tri_mat"])
         stt = self.statics.settings  # resize tier may have capped max_pairs
-        if st.pipeline != "fused" or b["local_tri"] is None:
-            common = (
-                self.statics, absd(b["positions"]), absd(b["vert_obj"]),
-                absd(b["normals"]), absd(b["colors"]), absd(b["uvs"]),
-                absd(b["tri_v"]), absd(b["tri_obj"]),
-                absd(b["obj_material"]), aomats, aomats, acam,
-                abs_mats, abs_atlas, abs_light, abslt, abstm,
-            )
-            if st.pipeline == "fused":
-                lowered = [plmod.render_frame_fused_jit.lower(*common)]
-            elif stt.staged_pipeline:
-                # render_frame_staged runs four separate jits — warm those
-                from .ops import raster_pallas
+        cfg = self.cfg
 
-                cfg = self.cfg
-                geo_arrs = (
-                    absd(b["positions"]), absd(b["vert_obj"]),
-                    absd(b["normals"]), absd(b["colors"]), absd(b["uvs"]),
-                    absd(b["tri_v"]), absd(b["tri_obj"]),
-                    absd(b["obj_material"]), aomats, aomats,
-                )
-                geo_args = (cfg, stt.clip_budget) + geo_arrs
-                geo_kw = dict(
-                    local_tri=abslt, interpret=self.statics.interpret,
-                    tri_mat=abstm,
-                )
-                su, attrs_full, _ = jax.eval_shape(
-                    functools.partial(
-                        plmod._stage_geometry.__wrapped__,
-                        cfg, stt.clip_budget,
-                        interpret=self.statics.interpret,
-                    ),
-                    *geo_arrs, local_tri=abslt, tri_mat=abstm,
-                )
-                rec_i, rec_f, tstart, tcount, _ = jax.eval_shape(
-                    functools.partial(
-                        plmod._stage_binning.__wrapped__, cfg, stt.max_pairs
-                    ),
-                    su,
-                )
-                vis_d, vis_t = jax.eval_shape(
-                    functools.partial(
-                        raster_pallas.rasterize_visibility.__wrapped__,
-                        cfg=cfg, interpret=self.statics.interpret,
-                    ),
-                    rec_i, rec_f, tstart, tcount,
-                )
-                lowered = [
-                    plmod._stage_geometry.lower(*geo_args, **geo_kw),
-                    plmod._stage_binning.lower(cfg, stt.max_pairs, su),
-                    raster_pallas.rasterize_visibility.lower(
-                        rec_i, rec_f, tstart, tcount, cfg,
-                        interpret=self.statics.interpret,
-                    ),
-                    plmod._stage_shade.lower(
-                        self.statics, vis_t, su, attrs_full, acam,
-                        abs_mats, abs_atlas, abs_light,
-                    ),
-                ]
-            else:
-                lowered = [plmod.render_frame_jit.lower(*common)]
+        def zdev(sd):
+            return jax.device_put(
+                jnp.zeros(sd.shape, sd.dtype), self.device
+            )
+
+        f32 = np.float32
+        o = self.scene.model_matrices().shape[0]
+        # identity matrices: finite w everywhere, geometry mostly culled —
+        # a cheap but semantically well-formed frame for the front stages
+        eye = jnp.asarray(np.broadcast_to(np.eye(4, dtype=f32), (o, 4, 4)))
+        cam0 = jnp.asarray(np.zeros(3, f32))
+        absd = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+        single_program = (
+            self._sharded_fn is not None
+            or (st.pipeline != "fused" and not stt.staged_pipeline)
+            or (st.pipeline == "fused" and b["local_tri"] is None)
+        )
+        if single_program:
+            return finish_real_frame()
+
+        calls = []
+        if st.pipeline != "fused":
+            # classic staged: four stage jits
+            from .ops import raster_pallas
+
+            geo_arrs = (
+                b["positions"], b["vert_obj"], b["normals"], b["colors"],
+                b["uvs"], b["tri_v"], b["tri_obj"], b["obj_material"],
+                eye, eye,
+            )
+            geo_kw = dict(
+                local_tri=b["local_tri"], interpret=self.statics.interpret,
+                tri_mat=b["tri_mat"],
+            )
+            su, attrs_full, _ = jax.eval_shape(
+                functools.partial(
+                    plmod._stage_geometry.__wrapped__,
+                    cfg, stt.clip_budget,
+                    interpret=self.statics.interpret,
+                ),
+                *jax.tree.map(absd, geo_arrs),
+                local_tri=(
+                    absd(b["local_tri"])
+                    if b["local_tri"] is not None else None
+                ),
+                tri_mat=absd(b["tri_mat"]),
+            )
+            rec_i, rec_f, tstart, tcount, _ = jax.eval_shape(
+                functools.partial(
+                    plmod._stage_binning.__wrapped__, cfg, stt.max_pairs
+                ),
+                su,
+            )
+            vis_d, vis_t = jax.eval_shape(
+                functools.partial(
+                    raster_pallas.rasterize_visibility.__wrapped__,
+                    cfg=cfg, interpret=self.statics.interpret,
+                ),
+                rec_i, rec_f, tstart, tcount,
+            )
+            su_z = jax.tree.map(zdev, su)
+            attrs_z = jax.tree.map(zdev, attrs_full)
+            calls = [
+                lambda: plmod._stage_geometry(
+                    cfg, stt.clip_budget, *geo_arrs, **geo_kw
+                ),
+                lambda: plmod._stage_binning(cfg, stt.max_pairs, su_z),
+                lambda: raster_pallas.rasterize_visibility(
+                    zdev(rec_i), zdev(rec_f), zdev(tstart), zdev(tcount),
+                    cfg, interpret=self.statics.interpret,
+                ),
+                lambda: plmod._stage_shade(
+                    self.statics, zdev(vis_t), su_z, attrs_z, cam0,
+                    self.materials, self.atlas, self.light,
+                ),
+            ]
         else:
+            # fused staged (the flagship): 3 jits with fused_front_merge,
+            # else 6.  Shapes of the stage boundaries via eval_shape.
             from .ops.geometry import MAX_CLIP_TRIS
 
-            cfg = self.cfg
             ntail = st.clip_budget * MAX_CLIP_TRIS
-            vargs = (
+            vargs_abs = (
                 absd(b["positions"]), absd(b["vert_obj"]),
                 absd(b["normals"]), absd(b["colors"]), absd(b["uvs"]),
-                aomats, aomats,
+                jax.ShapeDtypeStruct((o, 4, 4), f32),
+                jax.ShapeDtypeStruct((o, 4, 4), f32),
             )
             tblT = jax.eval_shape(
-                setup_kernel.transform_vertices_T, *vargs
+                setup_kernel.transform_vertices_T, *vargs_abs
             )
             setup_out = jax.eval_shape(
                 functools.partial(
@@ -435,7 +423,9 @@ class Renderer:
             )
             comb2, keys_t = tail_out[0], tail_out[1]
             sort_out = jax.eval_shape(
-                functools.partial(plmod._fstage_sort.__wrapped__, self.statics),
+                functools.partial(
+                    plmod._fstage_sort.__wrapped__, self.statics
+                ),
                 comb2, keys_m, keys_t,
             )
             rmeta, tbl, tbl_ext, _ss = sort_out
@@ -446,73 +436,82 @@ class Renderer:
                 rmeta, tbl, tbl_ext,
             )
             _, vis_t, planes = rast_out
+            smode = plmod.shade_mode_for(
+                self.statics,
+                self.materials if self.statics.has_materials else None,
+                self.atlas if self.statics.has_atlas else None,
+                self.light,
+            )
             if stt.fused_front_merge:
                 front = [
-                    plmod._fstage_front.lower(
-                        self.statics, *vargs[:5], aomats, aomats,
-                        absd(b["tri_v"]), absd(b["tri_mat"]),
-                        absd(b["ltT"]), absd(b["matT"]),
+                    lambda: plmod._fstage_front(
+                        self.statics, b["positions"], b["vert_obj"],
+                        b["normals"], b["colors"], b["uvs"], eye, eye,
+                        b["tri_v"], b["tri_mat"], b["ltT"], b["matT"],
                     ),
                 ]
             else:
+                tblT_z = zdev(tblT)
+                comb_z = zdev(comb)
+
+                def _tail_call():
+                    # comb is donated by _fstage_tail — give it its own
+                    # dummy buffer
+                    return plmod._fstage_tail(
+                        self.statics, tblT_z, b["tri_v"], b["tri_mat"],
+                        zdev(flags), zdev(comb),
+                    )
+
                 front = [
-                    plmod._fstage_transform.lower(*vargs),
-                    setup_kernel.triangle_setup.lower(
-                        tblT, absd(b["ltT"]), absd(b["matT"]), cfg,
+                    lambda: plmod._fstage_transform(
+                        b["positions"], b["vert_obj"], b["normals"],
+                        b["colors"], b["uvs"], eye, eye,
+                    ),
+                    lambda: setup_kernel.triangle_setup(
+                        tblT_z, b["ltT"], b["matT"], cfg,
                         interpret=self.statics.interpret, tail_rows=ntail,
                     ),
-                    plmod._fstage_tail.lower(
-                        self.statics, tblT, absd(b["tri_v"]),
-                        absd(b["tri_mat"]), flags, comb,
-                    ),
-                    plmod._fstage_sort.lower(
-                        self.statics, comb2, keys_m, keys_t
+                    _tail_call,
+                    lambda: plmod._fstage_sort(
+                        self.statics, comb_z, zdev(keys_m), zdev(keys_t)
                     ),
                 ]
-            smode = plmod.shade_mode_for(
-                self.statics,
-                abs_mats if self.statics.has_materials else None,
-                abs_atlas if self.statics.has_atlas else None,
-                abs_light,
-            )
-            lowered = front + [
-                fused_kernel.rasterize_distribute.lower(
-                    rmeta, tbl, tbl_ext, cfg,
+            calls = front + [
+                lambda: fused_kernel.rasterize_distribute(
+                    zdev(rmeta), zdev(tbl), zdev(tbl_ext), cfg,
                     interpret=self.statics.interpret,
                     shade_mode=smode,
                     materials=(
-                        abs_mats if self.statics.has_materials else None
+                        self.materials
+                        if self.statics.has_materials else None
                     ),
-                    atlas=abs_atlas if self.statics.has_atlas else None,
-                    light=abs_light if self.statics.has_light else None,
-                    camera_pos=acam,
+                    atlas=self.atlas if self.statics.has_atlas else None,
+                    light=self.light if self.statics.has_light else None,
+                    camera_pos=cam0,
                 ),
-                plmod._fstage_shade.lower(
-                    self.statics, planes, acam, abs_mats,
-                    abs_atlas, abs_light,
+                lambda: plmod._fstage_shade(
+                    self.statics, zdev(planes), cam0, self.materials,
+                    self.atlas, self.light,
                 ),
             ]
+        say(f"{len(calls)} stage calls built")
+
+        def run_stage(i_fn):
+            i, fn = i_fn
+            out = fn()
+            jax.block_until_ready(out)
+            np.asarray(jax.tree.leaves(out)[0].ravel()[:1])  # remote: force
+            say(f"stage {i} warm")
+
         if parallel:
             with concurrent.futures.ThreadPoolExecutor(
-                max_workers=len(lowered)
+                max_workers=len(calls)
             ) as ex:
-                list(ex.map(lambda l: l.compile(), lowered))
+                list(ex.map(run_stage, enumerate(calls)))
         else:
-            for l in lowered:
-                l.compile()
-        if execute:
-            # The AOT compiles above populate the persistent compilation
-            # cache but neither the jit CALL caches (keyed by real calls)
-            # nor the per-program device load (first execution).  One real
-            # frame through the exact render_frame path absorbs trace +
-            # cache-deserialize + device load, so the first user frame
-            # runs at steady-state speed.
-            from .camera import Camera as _Cam
-
-            rgba8, _ = self.render_frame(_Cam())
-            jax.block_until_ready(rgba8)
-            np.asarray(rgba8.ravel()[:4])  # remote backends: force for real
-        return _time.perf_counter() - t0
+            for item in enumerate(calls):
+                run_stage(item)
+        return finish_real_frame()
 
     def render_frame(self, camera: Camera, model_mats: np.ndarray = None):
         """Render one frame; returns (device rgba8, aux).  Async: does not
