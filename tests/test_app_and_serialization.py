@@ -175,3 +175,37 @@ def test_http_viewer_pixel_exact():
         assert b"frame.png" in html
     finally:
         v.close()
+
+
+def test_frame_stats_summary_nonblocking():
+    """VERDICT r3 #8: summary() must be async-safe — a pipeline counter
+    still attached to an in-flight frame (is_ready() False) is reported as
+    None rather than converted (conversion would block the host on the
+    device pipeline, serializing an App loop that shows stats per frame).
+    sync=True opts into blocking."""
+    from ash_renderer_tpu.utils.profiling import FrameStats
+
+    class InFlight:
+        """Device-scalar stand-in whose conversion is a test failure."""
+
+        def is_ready(self):
+            return False
+
+        def __int__(self):
+            raise AssertionError("summary() blocked on an unready scalar")
+
+    stats = FrameStats()
+    stats.record_frame(0.01, aux={"n_clipped": InFlight()})
+    out = stats.summary()  # must not raise: unready -> None
+    assert out["n_clipped"] is None
+    assert out["frames"] == 1
+
+    class Ready:
+        def is_ready(self):
+            return True
+
+        def __int__(self):
+            return 7
+
+    stats.record_frame(0.01, aux={"n_clipped": Ready()})
+    assert stats.summary()["n_clipped"] == 7

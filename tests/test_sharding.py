@@ -302,3 +302,28 @@ def test_renderer_indivisible_height_pads():
         rgba_s, _ = Renderer(scene, single).render_frame(cam)
         assert rgba_m.shape == rgba_s.shape
         np.testing.assert_array_equal(np.asarray(rgba_m), np.asarray(rgba_s))
+
+
+@pytest.mark.slow
+def test_renderer_headline_1080p_8dev():
+    """VERDICT r3 #7: the full 1920x1080 headline shape through the
+    Renderer facade on 8 devices.  grid_h = 135 (fused, tile_h=8) is
+    indivisible by 8, so this exercises the pad-tile-rows-and-crop path at
+    the exact decomposition the real headline uses — bitwise equal to the
+    single-device frame."""
+    import dataclasses
+
+    from ash_renderer_tpu import Renderer
+
+    scene = _scene(seed=11, nv=160, nt=240)
+    settings = RendererSettings(
+        width=1920, height=1080, clip_budget=256, max_pairs=1 << 15,
+        pipeline="fused", n_devices=8,
+    )
+    cam = Camera()
+    rgba_m, aux_m = Renderer(scene, settings).render_frame(cam)
+    assert rgba_m.shape == (1080, 1920, 4)
+    assert int(np.asarray(aux_m["clip_overflow"])) == 0
+    single = dataclasses.replace(settings, n_devices=None)
+    rgba_s, _ = Renderer(scene, single).render_frame(cam)
+    np.testing.assert_array_equal(np.asarray(rgba_m), np.asarray(rgba_s))
