@@ -80,6 +80,16 @@ class RendererSettings:
     # mode is slow on CPU). Bit-identical outputs (tests/test_fused.py,
     # tests/test_setup_kernel.py).
     pipeline: str = "auto"
+    # In-kernel surface shading (phase F: material modulation, mip select,
+    # tap addressing, Blinn-Phong on the VMEM-resident interpolated rows).
+    # "auto" = in-kernel only for UNTEXTURED scenes — on textured scenes the
+    # measured A/B (experiments/phaseF_ab_probe.py, TPU v5e, bit-identical
+    # legs) has the XLA shade path FASTER: headline 39.0 vs 40.6 ms/frame,
+    # config5 40.4 vs 41.9 (the tap-addressing rows the kernel must emit
+    # and the XLA pass must re-read cost more than the fused elementwise
+    # they replace), while untextured scenes drop the whole XLA shade pass.
+    # "on"/"off" force it (within the M<=16/T<=2 select-tree caps).
+    fused_surface_shade: str = "auto"
     # Fused-kernel framebuffer tile height (4 or 8).  8 is the default;
     # 4 halves the pixel rows each streamed slot evaluates (phase V work)
     # at the cost of 2x grid steps and slightly more spill/wide rows —

@@ -127,12 +127,19 @@ def shade_mode_for(statics, materials, atlas, light):
     trees (M > 16 or T > 2) — the XLA shade_surface path then runs
     unchanged.  Derived identically by the raster and shade stages (pure
     function of statics + table shapes)."""
+    knob = statics.settings.fused_surface_shade
+    if knob == "off":
+        return None
     has_m = statics.has_materials and materials is not None
     has_a = has_m and statics.has_atlas and atlas is not None
     has_l = statics.has_light and light is not None
     m_n = materials.base_color.shape[0] if has_m else 0
     t_n = atlas.level_offset.shape[0] if has_a else 0
     if (has_m and m_n > 16) or (has_a and t_n > 2):
+        return None
+    if knob == "auto" and has_a:
+        # measured net negative on textured scenes (see config.py:
+        # fused_surface_shade) — the XLA shade path runs instead
         return None
     return (m_n, t_n, has_m, has_a, has_l)
 

@@ -262,7 +262,11 @@ def test_fused_matches_oracle_textured_lit():
             model=mathx.translation([0, 0, 3]),
         )
     )
-    settings = RendererSettings(width=192, height=128, clip_budget=128)
+    # fused_surface_shade="on": keep the in-kernel phase F path (material/
+    # mip/tap-addressing select trees) covered with an atlas even though
+    # the auto rule now routes textured scenes to the XLA shade path
+    settings = RendererSettings(width=192, height=128, clip_budget=128,
+                                fused_surface_shade="on")
     cam = Camera()
     args, packed, mm, view, proj = _frame_args(
         scene, settings, cam, has_mats=True, has_atlas=True, has_light=True
@@ -384,8 +388,10 @@ def test_fused_supersampled_two_textures_matches_oracle():
                     model=np.diag([1, 1, 1, 1]).astype(np.float32))
     )
     atlas = TextureAtlas.build([checkerboard(64), checkerboard(32)])
+    # "on": pins the in-kernel phase F T=2 select trees (see the textured
+    # test above for why the auto rule no longer exercises them)
     settings = RendererSettings(width=96, height=64, supersample=2,
-                                clip_budget=64)
+                                clip_budget=64, fused_surface_shade="on")
     cam = Camera()
     packed = scene.pack(meshlets=True)
     cfg = derive_raster_config(
