@@ -346,10 +346,13 @@ def _vertex_post(clip, cfg: RasterConfig):
     gx = F32(1.0 + 2.0 * cfg.guard_px / cfg.width)
     gy = F32(1.0 + 2.0 * cfg.guard_px / cfg.height)
     xi, yi, zq, iw = _snap_corner(cx, cy, cz, cw, cfg)
+    # bits 0-5: guard-frustum planes; bits 6-9: SCREEN side planes (g = 1),
+    # consumed only by the clip-path trivial reject (oracle _screen_dists)
     ds = (
         cz, cw - cz,
         gx * cw + cx, gx * cw - cx,
         gy * cw + cy, gy * cw - cy,
+        cw + cx, cw - cx, cw + cy, cw - cy,
     )
     outcode = jnp.zeros_like(xi)
     for pi, d in enumerate(ds):
@@ -402,10 +405,14 @@ def geometry_device(
     else:
         corner_pack = [vtx[vid[:, k]] for k in range(3)]  # 3x (T, 8)
     oc0, oc1, oc2 = (c[:, 4] for c in corner_pack)
-    out_any = (oc0 & oc1 & oc2) != 0  # all corners outside one plane
-    all_in = (oc0 | oc1 | oc2) == 0
+    oc_and = oc0 & oc1 & oc2
+    out_any = (oc_and & 0x3F) != 0  # all corners outside one guard plane
+    all_in = ((oc0 | oc1 | oc2) & 0x3F) == 0
+    # all corners outside one SCREEN side plane -> coverage provably empty
+    # (half-space argument in clip space); skip the clip tail entirely
+    out_screen = (oc_and >> 6) != 0
     fast = vid_ok & all_in
-    needs_clip = vid_ok & ~all_in & ~out_any
+    needs_clip = vid_ok & ~all_in & ~out_any & ~out_screen
 
     # ---- fast path
     corner_snaps = tuple(

@@ -149,10 +149,13 @@ def _kernel(ltT_ref, matT_ref, tblT_ref, comb_ref, key_ref, flag_ref,
             nd(cy), cfg.height, ss, cfg.min_coord, cfg.max_coord_y, jnp
         )
         zq = sm.quantize_depth(nd(cz), jnp)
+        # bits 0-5: guard planes; bits 6-9: screen side planes (g = 1) for
+        # the clip-path trivial reject (ops/geometry._vertex_post layout)
         ds = (
             cz, cw - cz,
             gx * cw + cx, gx * cw - cx,
             gy * cw + cy, gy * cw - cy,
+            cw + cx, cw - cx, cw + cy, cw - cy,
         )
         oc = jnp.zeros_like(xi)
         for pi, d in enumerate(ds):
@@ -164,10 +167,13 @@ def _kernel(ltT_ref, matT_ref, tblT_ref, comb_ref, key_ref, flag_ref,
     xc, yc, zc, ic, occ, attr_c = corner(2)
 
     alive = rel3[0:1, :] >= 0  # corner-0 local id (-1 = padding)
-    out_any = (oca & ocb & occ) != 0
-    all_in = (oca | ocb | occ) == 0
+    oc_and = oca & ocb & occ
+    out_any = (oc_and & 0x3F) != 0
+    all_in = ((oca | ocb | occ) & 0x3F) == 0
+    # all corners outside one SCREEN side plane -> zero coverage, skip tail
+    out_screen = (oc_and >> 6) != 0
     fast = alive & all_in
-    needs_clip = alive & ~all_in & ~out_any
+    needs_clip = alive & ~all_in & ~out_any & ~out_screen
 
     sl = sm.shoelace2(xa, ya, xb, yb, xc, yc)
     valid = fast & (sl < 0)

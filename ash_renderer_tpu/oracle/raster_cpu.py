@@ -58,6 +58,20 @@ def _plane_dists(c: np.ndarray, gx: float, gy: float) -> np.ndarray:
     )
 
 
+def _screen_dists(c: np.ndarray) -> np.ndarray:
+    """Signed distances to the 4 SCREEN side planes (|x| <= w, |y| <= w).
+
+    Used only for the clip-path trivial reject: a triangle whose corners are
+    all outside one screen side plane lies (in clip space, hence also after
+    Sutherland-Hodgman against any other planes) entirely in that half-space,
+    so its post-divide footprint is strictly outside the viewport and its
+    pixel coverage is exactly empty — clipping it is pure waste.  Add/sub
+    only (g = 1): bit-identical across numpy / XLA / Mosaic.
+    """
+    x, y, w = c[..., 0], c[..., 1], c[..., 3]
+    return np.stack([w + x, w - x, w + y, w - y], axis=-1)
+
+
 def _clip_polygon(verts: np.ndarray, attrs: np.ndarray, gx: float, gy: float):
     """Sutherland-Hodgman in homogeneous clip space; f32 lerp of position and
     attributes with the spec formula a + t*(b-a)."""
@@ -194,6 +208,8 @@ def geometry_oracle(
         if np.all(d >= 0):
             emit(t, cv, list(vid), None, mat_id)
             continue
+        if np.any(np.all(_screen_dists(cv) < 0, axis=0)):
+            continue  # screen-plane trivial reject: zero coverage, skip tail
         # clip path
         if clip_rank >= clip_budget:
             continue  # budget overflow: dropped (counted by the device too)
