@@ -146,7 +146,8 @@ def sorted_table(comb, order, pad_rows: int):
     return comb[jnp.clip(order_p, 0, s - 1)]
 
 
-def sorted_table_budgeted(comb, order, pad_rows: int, live_end):
+def sorted_table_budgeted(comb, order, pad_rows: int, live_end,
+                          fracs=(0.25, 0.5)):
     """sorted_table, but the gather stops at a static cut >= the LIVE row
     count and zero-fills the rest.
 
@@ -155,18 +156,22 @@ def sorted_table_budgeted(comb, order, pad_rows: int, live_end):
     the plain gather fetches all S rows.  XLA row-gathers are row-count-
     bound (~17 us / 1k rows on v5e), so at the headline (1.37 M rows,
     ~330 k live) ~75%% of the gather is dead weight.  lax.switch picks the
-    smallest static prefix (1/4, 1/2, full) covering ``live_end`` (the
-    dead-run start from sort_and_bounds); rows below the cut are gathered
-    identically, rows above are zero-filled (never streamed — the memset
-    costs HBM-write bandwidth the full table paid anyway).  Bit-identical
-    frames for ANY live count: overflow past a cut just selects the next
-    branch."""
+    smallest static prefix (``fracs`` of the table, then full) covering
+    ``live_end`` (the dead-run start from sort_and_bounds, or the live pair
+    count for the wide-pair extension table); rows below the cut are
+    gathered identically, rows above are zero-filled (never streamed — the
+    memset costs HBM-write bandwidth the full table paid anyway).
+    Bit-identical frames for ANY live count: overflow past a cut just
+    selects the next branch."""
     s = comb.shape[0]
     order_p = jnp.pad(order, (0, pad_rows), constant_values=s - 1)
     n = order_p.shape[0]
-    q1 = min(-(-(n // 4) // 8) * 8, n)
-    q2 = min(-(-(n // 2) // 8) * 8, n)
-    if q1 >= q2 or q2 >= n:  # tiny tables: no useful split
+    qs = []
+    for frac in fracs:
+        q = min(-(-int(n * frac) // 8) * 8, n)
+        if q > 0 and (not qs or q > qs[-1]) and q < n:
+            qs.append(q)
+    if not qs:  # tiny tables: no useful split
         return comb[jnp.clip(order_p, 0, s - 1)]
 
     def prefix(q):
@@ -181,10 +186,12 @@ def sorted_table_budgeted(comb, order, pad_rows: int, live_end):
     def full(_):
         return comb[jnp.clip(order_p, 0, s - 1)]
 
-    case = (live_end > q1).astype(jnp.int32) + (live_end > q2).astype(
-        jnp.int32
+    case = sum(
+        (live_end > q).astype(jnp.int32) for q in qs
     )
-    return jax.lax.switch(case, [prefix(q1), prefix(q2), full], None)
+    return jax.lax.switch(
+        case, [prefix(q) for q in qs] + [full], None
+    )
 
 
 def unpack_coord_planes(packed, cfg: RasterConfig):

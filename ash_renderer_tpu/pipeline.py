@@ -424,14 +424,14 @@ def sort_expand_table(statics, comb, keys, tile_row0=0,
     live_end = bounds[n_tiles * binsort.N_GRP + 1]  # dead-run start
     tbl_sorted = tritables.sorted_table_budgeted(comb, order, 256, live_end)
     n_pairs = pair_starts[-1]
-
-    def ext_live(_):
-        return tritables.sorted_table(comb, pair_rows, 256)
-
-    def ext_dead(_):
-        return jnp.zeros((pair_rows.shape[0] + 256, comb.shape[1]), I32)
-
-    tbl_ext = jax.lax.cond(n_pairs > 0, ext_live, ext_dead, None)
+    # ext gather budgeted like the main table: typical frames have 0-31k
+    # live pairs against the 131k budget, and the kernel streams only
+    # positions < n_pairs, so fine tiers (1/32, 1/4) cut the every-frame
+    # ~2 ms full-budget row gather to the live prefix (bit-identical; rows
+    # past the cut are zero-filled and masked by the pair run bounds)
+    tbl_ext = tritables.sorted_table_budgeted(
+        comb, pair_rows, 256, n_pairs, fracs=(1 / 32, 1 / 4)
+    )
     ws = bounds[n_tiles * binsort.N_GRP]
     sstats = {
         # wide-run population counters (cheap scalars already computed):

@@ -56,7 +56,9 @@ def main():
     comb, keys_tail, _ = plmod._fstage_tail(
         r.statics, tblT, b["tri_v"], b["tri_mat"], flags, comb
     )
-    rmeta, tbl, tbl_ext, _ss = plmod._fstage_sort(statics, comb, keys_main, keys_tail)
+    rmeta, tbl, tbl_ext, _ss = plmod._fstage_sort(
+        r.statics, comb, keys_main, keys_tail
+    )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(rmeta, tbl, tbl_ext, cfg)
     force((vis_t, planes))
     campos = jnp.asarray(cam.position.astype(np.float32))
@@ -77,6 +79,23 @@ def main():
         )
         dt, _ = timeit(fn, planes)
         print(f"shade [{name}]: {dt*1000:.1f} ms", flush=True)
+
+    # raw cost of ONE 2M-row quad gather from the atlas (the irreducible
+    # tap): random in-range indices, same shape as the tile-flat planes
+    n_px = planes.shape[0] * planes.shape[2]
+    rng = np.random.default_rng(0)
+    tap = jnp.asarray(
+        rng.integers(0, r.atlas.quads.shape[0], size=n_px, dtype=np.int32)
+    )
+    gfn = jax.jit(lambda t: r.atlas.quads[t])
+    dt, _ = timeit(gfn, tap)
+    print(f"raw quad gather ({n_px/1e6:.2f}M rows): {dt*1000:.1f} ms",
+          flush=True)
+    # and the pack/relayout floor: valid-select + stack + pack on the planes
+    zero = dataclasses.replace(
+        r.statics, has_atlas=False, has_light=False, has_materials=False)
+    print("(see 'vertex color only' for the relayout+pack floor)",
+          flush=True)
 
 
 if __name__ == "__main__":
