@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from . import mathx
+from . import mathx, native
 
 _F32 = np.float32
 _I32 = np.int32
@@ -183,8 +183,8 @@ def build_meshlets(tri_v: np.ndarray, num_vertices: int,
     MESHLET_TRIS (tri_perm = -1 on padding rows, else the original
     triangle id).
     """
-    t_real = [t for t in range(len(tri_v)) if tri_v[t, 0] >= 0]
-    if positions is not None and t_real:
+    t_real = np.nonzero(tri_v[:, 0] >= 0)[0].astype(_I32)
+    if positions is not None and len(t_real):
         # Spatial (Morton) triangle order before the greedy grouping: many
         # generators emit interleaved orders (e.g. icosphere subdivision
         # touches the whole surface each pass), which destroys both meshlet
@@ -192,7 +192,11 @@ def build_meshlets(tri_v: np.ndarray, num_vertices: int,
         # gathers depend on (measured: mean per-tile id span 110k rows ->
         # ~216 gather windows per 128-slot segment on the 1.3M-tri bench).
         morton = _morton_order(tri_v[t_real], positions)
-        t_real = [t_real[i] for i in morton]
+        t_real = t_real[morton]
+    fast = native.build_meshlets(tri_v, t_real, num_vertices)
+    if fast is not None:
+        return fast
+    t_real = [int(t) for t in t_real]
     vertex_src: list[int] = []
     local_tri = []
     tri_perm = []
@@ -220,15 +224,26 @@ def build_meshlets(tri_v: np.ndarray, num_vertices: int,
         cur_map = {}
         cur_tris = []
 
+    def fresh(corners, ref):
+        # distinct new vertices in FIRST-OCCURRENCE corner order: local id
+        # assignment is spec'd order-stable (the C++ fast path reproduces
+        # it exactly); flush decisions depend only on the COUNT, so any
+        # dedup order yields identical meshlet boundaries / triangle order
+        out = []
+        for v in corners:
+            if v not in ref and v not in out:
+                out.append(v)
+        return out
+
     for t in t_real:
         corners = [int(v) for v in tri_v[t]]
-        new = [v for v in set(corners) if v not in cur_map]
+        new = fresh(corners, cur_map)
         if (
             len(cur_map) + len(new) > MESHLET_VERTS
             or len(cur_tris) >= MESHLET_TRIS
         ):
             flush()
-            new = list(set(corners))
+            new = fresh(corners, cur_map)
         for v in new:
             cur_map[v] = len(cur_map)
         cur_tris.append((t, [cur_map[v] for v in corners]))

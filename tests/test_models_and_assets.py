@@ -83,6 +83,36 @@ def test_native_obj_matches_python():
     np.testing.assert_array_equal(a.uvs, uv)
 
 
+def test_native_meshlets_match_python():
+    """The C++ greedy meshlet builder must be BIT-IDENTICAL to the Python
+    loop: meshlet boundaries set the triangle draw order (depth tie-break),
+    so any divergence changes frames."""
+    from ash_renderer_tpu import native
+    from ash_renderer_tpu import scene as sc
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        v = int(rng.integers(4, 700))
+        t = int(rng.integers(1, 3000))
+        tri = rng.integers(0, v, size=(t, 3)).astype(np.int32)
+        tri[rng.random(t) < 0.07, 0] = -1  # padding rows
+        dup = rng.random(t) < 0.05  # degenerate duplicate-corner tris
+        tri[dup, 2] = tri[dup, 0]
+        pos = rng.random((v, 3)).astype(np.float32)
+        use_pos = pos if trial % 2 == 0 else None
+        fast = sc.build_meshlets(tri, v, use_pos)
+        real_fn = native.build_meshlets
+        native.build_meshlets = lambda *a: None
+        try:
+            slow = sc.build_meshlets(tri, v, use_pos)
+        finally:
+            native.build_meshlets = real_fn
+        for a, b in zip(fast, slow):
+            np.testing.assert_array_equal(a, b)
+
+
 def _minimal_gltf(tmpdir):
     pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
     idx = np.array([0, 1, 2], np.uint16)
