@@ -87,3 +87,43 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def better_primitives():
+    n_tiles, rows, lanes = 2025, 24, 1024
+    B = 512
+    rng = np.random.default_rng(0)
+    live = jnp.asarray(rng.random(n_tiles) > 0.8)
+
+    def mkorder2(lv):
+        key = jnp.where(lv, I32(0), I32(1)) * I32(n_tiles) + jnp.arange(
+            n_tiles, dtype=I32
+        )
+        o = jnp.argsort(key)
+        inv_p = jnp.argsort(o)  # inverse permutation without scatter
+        return o, inv_p
+
+    dt, (o, inv) = timeit(jax.jit(mkorder2), live)
+    print(f"order via 2x argsort ({n_tiles}): {dt*1e3:.2f} ms", flush=True)
+
+    packed32 = jnp.asarray(
+        rng.integers(0, 1 << 30, size=(B, lanes), dtype=np.int32)
+    )
+
+    def inverse32(p, iv, lv):
+        out = p[jnp.clip(iv, 0, B - 1)]
+        return jnp.where(lv[:, None], out, jnp.zeros((1, lanes), p.dtype))
+
+    dt, _ = timeit(jax.jit(inverse32), packed32, inv, live)
+    print(f"inverse i32 gather {n_tiles} rows from {B}: {dt*1e3:.2f} ms",
+          flush=True)
+
+    planes_f = jnp.asarray(
+        rng.integers(0, 1 << 30, size=(n_tiles, 18 * 1024), dtype=np.int32)
+    )
+    dt, _ = timeit(jax.jit(lambda p, oo: p[oo[:B]]), planes_f, o)
+    print(f"planes fwd gather {B} tiles (18 rows): {dt*1e3:.2f} ms",
+          flush=True)
+
+
+better_primitives()
