@@ -299,6 +299,14 @@ def main():
         f"valid tris: {int(aux['n_valid'])},{pair_info}"
         f" covered px: {int((np.asarray(aux['vis_tri']) >= 0).sum())}"
     )
+    if "n_wide" in aux:  # static-pose stream population (budget-tier data)
+        log(
+            "static pose: "
+            f"live rows={int(np.asarray(aux.get('live_rows', 0)))} "
+            f"wide={int(np.asarray(aux['n_wide']))} "
+            f"pairs={int(np.asarray(aux['wide_pairs_n']))} "
+            f"leftover={int(np.asarray(aux['wide_leftover']))}"
+        )
 
     # scale-exactness gate: headline frame vs the offline oracle render
     hash_ok = True
