@@ -422,12 +422,7 @@ def sort_expand_table(statics, comb, keys, tile_row0=0,
         wide_start=new_ws,
     )
     live_end = bounds[n_tiles * binsort.N_GRP + 1]  # dead-run start
-    # 3/8 tier: the headline's live count (~330k of 1.37M = 24%) rides the
-    # 1/4 cut edge — a frame just past it would otherwise jump straight to
-    # the 1/2 prefix (+~340k dead gathered rows, ~3 ms)
-    tbl_sorted = tritables.sorted_table_budgeted(
-        comb, order, 256, live_end, fracs=(0.25, 0.375, 0.5)
-    )
+    tbl_sorted = tritables.sorted_table_budgeted(comb, order, 256, live_end)
     n_pairs = pair_starts[-1]
     # ext gather budgeted like the main table: typical frames have 0-31k
     # live pairs against the 131k budget, and the kernel streams only
@@ -435,7 +430,7 @@ def sort_expand_table(statics, comb, keys, tile_row0=0,
     # ~2 ms full-budget row gather to the live prefix (bit-identical; rows
     # past the cut are zero-filled and masked by the pair run bounds)
     tbl_ext = tritables.sorted_table_budgeted(
-        comb, pair_rows, 256, n_pairs, fracs=(1 / 32, 1 / 8, 1 / 4, 1 / 2)
+        comb, pair_rows, 256, n_pairs, fracs=(1 / 32, 1 / 4)
     )
     ws = bounds[n_tiles * binsort.N_GRP]
     sstats = {
@@ -448,7 +443,12 @@ def sort_expand_table(statics, comb, keys, tile_row0=0,
         "wide_pairs_n": n_pairs,
         "wide_leftover": live_end - new_ws,
         # live sorted-table prefix (dead-run start) — tells which budget
-        # tier the main gather took this frame (tritables 1/4, 3/8, 1/2)
+        # tier the main gather took this frame (tritables 1/4, 1/2, full).
+        # Tier count is deliberately small: an A/B on hardware measured
+        # denser tiers (+3 switch branches) blowing the front program's
+        # per-shape device load 29.9 s -> 133.5 s warm-cache at the
+        # terrain config for ~0 runtime win (static pose carries zero
+        # wide pairs; see DESIGN.md round-4 measured negatives)
         "live_rows": live_end,
     }
     return rmeta, tbl_sorted, tbl_ext, sstats
