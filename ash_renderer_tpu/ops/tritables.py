@@ -146,6 +146,20 @@ def sorted_table(comb, order, pad_rows: int):
     return comb[jnp.clip(order_p, 0, s - 1)]
 
 
+def budget_cuts(n: int, fracs) -> list[int]:
+    """The static prefix cuts sorted_table_budgeted chooses from for a
+    padded table of ``n`` rows: each frac rounded up to a multiple of 8
+    (DMA-window sublane alignment), deduplicated/increasing, cuts >= n
+    dropped (they would not split anything).  Factored out so the tier-
+    boundary test sweeps the exact production cuts."""
+    qs = []
+    for frac in fracs:
+        q = min(-(-int(n * frac) // 8) * 8, n)
+        if q > 0 and (not qs or q > qs[-1]) and q < n:
+            qs.append(q)
+    return qs
+
+
 def sorted_table_budgeted(comb, order, pad_rows: int, live_end,
                           fracs=(0.25, 0.5)):
     """sorted_table, but the gather stops at a static cut >= the LIVE row
@@ -166,11 +180,7 @@ def sorted_table_budgeted(comb, order, pad_rows: int, live_end,
     s = comb.shape[0]
     order_p = jnp.pad(order, (0, pad_rows), constant_values=s - 1)
     n = order_p.shape[0]
-    qs = []
-    for frac in fracs:
-        q = min(-(-int(n * frac) // 8) * 8, n)
-        if q > 0 and (not qs or q > qs[-1]) and q < n:
-            qs.append(q)
+    qs = budget_cuts(n, fracs)
     if not qs:  # tiny tables: no useful split
         return comb[jnp.clip(order_p, 0, s - 1)]
 

@@ -41,13 +41,9 @@ def test_budgeted_prefix_matches_plain_at_every_tier(fracs):
     plain = _plain(comb, order, pad)
     n = s + pad
 
-    # the static cuts the implementation will choose from (mirror its
-    # rounding: ceil(n*frac) to a multiple of 8, dropped if >= n)
-    qs = []
-    for frac in fracs:
-        q = min(-(-int(n * frac) // 8) * 8, n)
-        if q > 0 and (not qs or q > qs[-1]) and q < n:
-            qs.append(q)
+    # the exact static cuts the implementation chooses from — shared
+    # helper, so the probe points always track the implementation
+    qs = tritables.budget_cuts(n, fracs)
     assert qs, "test shapes must produce at least one real tier"
 
     # live counts straddling every boundary + extremes
