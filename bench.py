@@ -343,6 +343,7 @@ def main():
     # frames pay their real cost (the static camera never takes the
     # clip-tail branch); same compiled executable, no re-trace
     orbit_fps = None
+    orbit_const_fps = None
     if args.config == "config4_million_tri" and not args.small:
         fcams = flyby_path(24)
         r.render_frame(fcams[0])  # clip-branch not a new compile, but warm it
@@ -376,6 +377,36 @@ def main():
                     f"global-run leftover={d.get('wide_leftover', 0):6d}"
                 )
 
+        # coverage-CONSTANT moving camera: an orbit at the static pose's
+        # radius keeping the sphere frame-filling on every frame (frame 0
+        # IS the static pose), so this number cannot hide a motion-
+        # dependent regression behind coverage loss the way the grazing
+        # fly-by can (every fly-by frame near closest approach covers
+        # fewer pixels than the static pose — DESIGN.md counter analysis)
+        from ash_renderer_tpu.camera import orbit_path as _orbit
+
+        ocams = _orbit(24, radius=2.0, center=np.array([0, 0, 2.0]))
+        r.render_frame(ocams[1])  # absorb any first-call overhead
+        t0 = time.time()
+        for oc in ocams:
+            rgba8_o, _ = r.render_frame(oc)
+        force(rgba8_o)
+        odt = (time.time() - t0) / len(ocams)
+        orbit_const_fps = 1.0 / odt
+        log(
+            f"moving camera (orbit, coverage-constant): {odt*1000:.1f} "
+            f"ms/frame = {orbit_const_fps:.2f} FPS"
+        )
+
+        # staleness canary: a static frame rendered AFTER the moving
+        # sequences must still byte-equal the golden (guards any frame-
+        # coherence caching against serving stale state)
+        rgba8_s, _ = r.render_frame(cam)
+        res2 = headline_hash_gate(rgba8_s, args.subdiv, args.config)
+        if res2 is not None:
+            hash_ok = hash_ok and res2
+            log(f"post-motion static re-gate: {'EXACT' if res2 else 'MISMATCH'}")
+
     value = round(fps, 3)
     flags = ("" if parity_ok else " [PARITY GATE FAILED]") + (
         "" if hash_ok else " [HEADLINE HASH MISMATCH]"
@@ -391,6 +422,8 @@ def main():
     }
     if orbit_fps is not None:
         result["moving_camera_fps"] = round(orbit_fps, 3)
+    if orbit_const_fps is not None:
+        result["orbit_camera_fps"] = round(orbit_const_fps, 3)
     print(json.dumps(result))
 
 
