@@ -95,6 +95,17 @@ class RendererSettings:
     # at the cost of 2x grid steps and slightly more spill/wide rows —
     # an A/B knob for hardware measurement.
     fused_tile_h: int = 8
+    # Frame-coherence reuse of the fused front stage: when the per-frame
+    # host inputs (model + mvp matrices — the reference's 192-byte UBO,
+    # renderer.rs:431-439) are byte-identical to the previous frame's, the
+    # front outputs (sorted/gathered tables + range meta) are reused
+    # instead of recomputed — bit-exact by construction (the front is a
+    # pure deterministic function of scene buffers + those matrices; see
+    # pipeline.FrontCache).  A static camera skips the setup kernel, the
+    # 1.37M-key sort and the table gathers (~1/3 of the headline frame);
+    # any motion misses byte-for-byte and recomputes.  Guarded by
+    # bench.py's post-motion static re-gate and the facade cache tests.
+    front_coherence: bool = True
     # Multi-chip rendering: render over the first n jax devices as a 1-D
     # framebuffer-row mesh (parallel/sharding.py); None = single device.
     # Any resolution works: an indivisible tile-row count is padded up

@@ -497,6 +497,32 @@ def _fstage_shade(statics, planes, camera_pos, materials, atlas, light):
     )
 
 
+class FrontCache:
+    """Frame-coherence memo for the fused front stage.
+
+    The front (_fstage_front: vertex transform + setup kernel + clip tail +
+    sort + budgeted table gathers) is a PURE function of (scene buffers,
+    model matrices, mvp matrices) — camera_pos feeds only shading.  Under a
+    static camera its inputs are byte-identical frame over frame, so
+    reusing the previous frame's device outputs is bit-exact by
+    construction (same deterministic programs, same inputs; the reference
+    analogue is the per-image UBO write being the ONLY per-frame input,
+    renderer.rs:431-439).  The Renderer owns one instance per
+    settings/resize world (scene-buffer or settings changes rebuild that
+    world and drop the cache); ``key`` is the raw bytes of the per-frame
+    host inputs (the 192-byte UBO analogue), so any camera/model motion
+    misses and recomputes.  A static pose skips ~1/3 of the headline
+    frame (sort of 1.37M keys + table gathers + setup kernel re-run).
+    Staleness canaries: bench.py's post-motion static re-gate and
+    tests/test_renderer_facade.py's static-moving-static equality."""
+
+    __slots__ = ("key", "value")
+
+    def __init__(self):
+        self.key = None
+        self.value = None
+
+
 def render_frame_fused_staged(
     statics: FrameStatics,
     positions, vert_obj, normals, colors, uvs,
@@ -507,20 +533,40 @@ def render_frame_fused_staged(
     tri_mat=None,
     ltT=None,
     matT=None,
+    front_cache: FrontCache | None = None,
+    front_key: bytes | None = None,
 ):
     """Same signature/results as render_frame_fused (meshlet path), via
     per-stage jits.  Requires meshlet tables (ltT/matT/tri_mat precomputed —
     the Renderer path).  With settings.fused_front_merge the four XLA-front
     stages run as ONE program (_fstage_front) — identical results, fewer
-    device programs (cold start)."""
+    device programs (cold start).
+
+    front_cache/front_key: optional FrontCache + the bytes of this frame's
+    per-frame host inputs (model + mvp matrices).  On a key hit the cached
+    front outputs are reused (bit-exact — see FrontCache); on a miss the
+    front recomputes and the cache is refreshed.  Only the merged-front
+    path caches (the unmerged path's _fstage_tail donates its comb)."""
     assert ltT is not None and matT is not None and tri_mat is not None
     cfg = statics.cfg
     st = statics.settings
     if st.fused_front_merge:
-        rmeta, tbl_sorted, tbl_ext, stats = _fstage_front(
-            statics, positions, vert_obj, normals, colors, uvs,
-            model_mats, mvp_mats, tri_v, tri_mat, ltT, matT,
-        )
+        use_cache = front_cache is not None and front_key is not None
+        if use_cache and front_cache.key == front_key:
+            rmeta, tbl_sorted, tbl_ext, stats = front_cache.value
+        else:
+            if use_cache:
+                # drop the stale entry BEFORE recomputing so its ~0.7 GB
+                # sorted table frees as soon as the previous frame's
+                # consumers finish (avoids a transient 2x table footprint)
+                front_cache.key = front_cache.value = None
+            rmeta, tbl_sorted, tbl_ext, stats = _fstage_front(
+                statics, positions, vert_obj, normals, colors, uvs,
+                model_mats, mvp_mats, tri_v, tri_mat, ltT, matT,
+            )
+            if use_cache:
+                front_cache.key = front_key
+                front_cache.value = (rmeta, tbl_sorted, tbl_ext, stats)
     else:
         tblT = _fstage_transform(
             positions, vert_obj, normals, colors, uvs, model_mats, mvp_mats

@@ -238,6 +238,22 @@ class Renderer:
                 )
             )
         self.ring = FrameRing(st.frames_in_flight)
+        # frame-coherence memo for the fused front (pipeline.FrontCache):
+        # lives in the resize tier so ANY settings/resize/mesh rebuild
+        # drops it (its value is keyed on scene buffers + statics, which
+        # are exactly what these rebuilds replace)
+        from .pipeline import FrontCache
+
+        self._front_cache = (
+            FrontCache()
+            if (
+                st.front_coherence
+                and st.pipeline == "fused"
+                and st.fused_front_merge
+                and self.mesh is None
+            )
+            else None
+        )
 
     # ----- public API ----------------------------------------------------
     def update_settings(self, settings: RendererSettings, scene: Scene = None):
@@ -540,6 +556,7 @@ class Renderer:
                 rgba8, aux = self._sharded_fn(*common, b["local_tri"])
             self.stats.record_dispatch(time.perf_counter() - t0)
             return rgba8, aux
+        extra = {}
         if st.pipeline == "fused":
             # per-stage jits: the monolithic fused graph exceeds practical
             # XLA compile times at 1M-triangle shapes (pipeline.py)
@@ -548,6 +565,19 @@ class Renderer:
                 if self._buffers["local_tri"] is not None
                 else render_frame_fused_jit
             )
+            if (
+                frame_fn is render_frame_fused_staged
+                and self._front_cache is not None
+            ):
+                # the front's only per-frame inputs, as raw bytes (the
+                # 192-byte UBO analogue) — byte-equality keys the reuse
+                extra = {
+                    "front_cache": self._front_cache,
+                    "front_key": (
+                        np.ascontiguousarray(model_mats, dtype=F32).tobytes()
+                        + np.ascontiguousarray(mvp, dtype=F32).tobytes()
+                    ),
+                }
         elif st.staged_pipeline:
             frame_fn = render_frame_staged
         else:
@@ -575,6 +605,7 @@ class Renderer:
                 if st.pipeline == "fused"
                 else {}
             ),
+            **extra,
         )
         self.stats.record_dispatch(time.perf_counter() - t0)
         return rgba8, aux
