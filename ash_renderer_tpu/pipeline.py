@@ -153,6 +153,20 @@ def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
     The winner-id/validity plane is the kernel's VIS_ROW output row — the
     (H, W) vis_t never round-trips through a relayout.
 
+    Live-row band gating (settings.shade_row_band, full-frame only): the
+    per-pixel shade chain (the quad tap gather above all) runs dense over
+    every padded pixel though coverage can be a small horizontal band
+    (terrain covers ~6% of 1080p).  The winner plane already tells which
+    TILE ROWS carry any coverage; a lax.switch picks the smallest static
+    row-band tier covering the live span, shades only that band, and
+    composites it over a clear-color canvas.  Bit-identical: in-band
+    pixels run the identical op sequence on identical values, and every
+    out-of-band pixel is invalid by construction, so the dense path would
+    emit exactly the clear color there (the canvas is filled through the
+    same resolve/pack ops).  Tier count stays at 2 — program size drives
+    per-shape device load on this backend (DESIGN.md tier-ladder
+    negative).
+
     tile_row0: first tile row of this slab (traced under shard_map); when
     nonzero the caller guarantees the slab needs no row crop."""
     cfg = statics.cfg
@@ -162,12 +176,8 @@ def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
     n_tiles = planes.shape[0]
     gh = n_tiles // gw
     hpad, wpad = gh * th, gw * tw
+    n_pix = planes.shape[2]
     full_frame = isinstance(tile_row0, int) and tile_row0 == 0
-    vis_tf = planes[:, fused_kernel.VIS_ROW, :]
-    valid = vis_tf >= 0
-
-    def f(i):
-        return planes[:, i, :]
 
     smode = shade_mode_for(
         statics,
@@ -175,34 +185,44 @@ def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
         atlas if statics.has_atlas else None,
         light,
     )
-    if smode is not None:
-        # phase F planes: the kernel already ran the surface math; only
-        # the quad tap + lerp + combine remain (shade.combine_from_prelight)
-        fk = fused_kernel
-        _, _, has_m, has_a, has_l = smode
-        rgba = shade.combine_from_prelight(
-            jnp,
-            valid,
-            [sm_bitcast(f(fk.F_P + ch)) for ch in range(4)],
-            [sm_bitcast(f(fk.F_DIFF + i)) for i in range(3)],
-            sm_bitcast(f(fk.F_SPEC)),
-            f(fk.F_LIT),
-            f(fk.F_TAP),
-            sm_bitcast(f(fk.F_FU)),
-            sm_bitcast(f(fk.F_FV)),
-            f(fk.F_TEXMASK),
-            atlas=atlas if has_a else None,
-            light=light if has_l else None,
-            has_materials=has_m,
-            clear_color=st.clear_color,
-        )
-    else:
+
+    def shade_tiles(sub):
+        """The per-pixel shade chain on a (k, 24, n_pix) tile-flat slice —
+        elementwise + gathers only, so any tile subset produces the same
+        bytes it would inside the full run."""
+        vis_tf = sub[:, fused_kernel.VIS_ROW, :]
+        valid = vis_tf >= 0
+
+        def f(i):
+            return sub[:, i, :]
+
+        if smode is not None:
+            # phase F planes: the kernel already ran the surface math;
+            # only the quad tap + lerp + combine remain
+            fk = fused_kernel
+            _, _, has_m, has_a, has_l = smode
+            return shade.combine_from_prelight(
+                jnp,
+                valid,
+                [sm_bitcast(f(fk.F_P + ch)) for ch in range(4)],
+                [sm_bitcast(f(fk.F_DIFF + i)) for i in range(3)],
+                sm_bitcast(f(fk.F_SPEC)),
+                f(fk.F_LIT),
+                f(fk.F_TAP),
+                sm_bitcast(f(fk.F_FU)),
+                sm_bitcast(f(fk.F_FV)),
+                f(fk.F_TEXMASK),
+                atlas=atlas if has_a else None,
+                light=light if has_l else None,
+                has_materials=has_m,
+                clear_color=st.clear_color,
+            )
         # legacy planes: 12 interpolated attr channels, 4 raw uv screen
         # derivatives, material id — full shade_surface in XLA
         attr = [sm_bitcast(f(i)) for i in range(12)]
         duv = tuple(sm_bitcast(f(12 + k)) for k in range(4))
         mat_id = f(16)
-        rgba = shade.shade_surface(
+        return shade.shade_surface(
             jnp,
             valid,
             attr,
@@ -215,19 +235,79 @@ def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
             clear_color=st.clear_color,
         )
 
-    def to_image(x):
-        img = (
-            x.reshape(gh, gw, th, tw, 4).transpose(0, 2, 1, 3, 4)
-            .reshape(hpad, wpad, 4)
+    def to_image(x, rows_g):
+        return (
+            x.reshape(rows_g, gw, th, tw, 4).transpose(0, 2, 1, 3, 4)
+            .reshape(rows_g * th, wpad, 4)
         )
-        rows = cfg.height if full_frame else hpad
-        return img[:rows, : cfg.width]
 
-    if st.supersample == 1:
-        # pack first (4 u8/px), relayout the small image
-        return to_image(shade.resolve_and_pack(jnp, rgba, 1, st.srgb_output))
-    return shade.resolve_and_pack(
-        jnp, to_image(rgba), st.supersample, st.srgb_output
+    def finish_dense(_=None):
+        rgba = shade_tiles(planes)
+        rows = cfg.height if full_frame else hpad
+        if st.supersample == 1:
+            # pack first (4 u8/px), relayout the small image
+            packed = shade.resolve_and_pack(jnp, rgba, 1, st.srgb_output)
+            return to_image(packed, gh)[:rows, : cfg.width]
+        return shade.resolve_and_pack(
+            jnp, to_image(rgba, gh)[:rows, : cfg.width],
+            st.supersample, st.srgb_output,
+        )
+
+    # tile-row band tiers (alignment-free — dynamic_slice takes any
+    # offset): ceil(gh/4), ceil(gh/2); tiers that don't split are dropped
+    band_tiers = (
+        sorted({-(-(gh * n) // d) for n, d in ((1, 4), (1, 2))} - {gh})
+        if full_frame and st.shade_row_band
+        else []
+    )
+    if not band_tiers:
+        return finish_dense()
+
+    valid_rows = (
+        planes[:, fused_kernel.VIS_ROW, :] >= 0
+    ).reshape(gh, gw * n_pix)
+    row_live = jnp.any(valid_rows, axis=1)  # (gh,)
+    lo = jnp.argmax(row_live).astype(I32)
+    hi = I32(gh - 1) - jnp.argmax(row_live[::-1]).astype(I32)
+    span = jnp.where(jnp.any(row_live), hi - lo + 1, I32(0))
+
+    clear = jnp.asarray(np.asarray(st.clear_color, dtype=F32))
+
+    def finish_band(b):
+        def go(_):
+            start = jnp.clip(lo, 0, gh - b)
+            sub = jax.lax.dynamic_slice(
+                planes, (start * gw, 0, 0), (b * gw, planes.shape[1], n_pix)
+            )
+            rgba = shade_tiles(sub)
+            if st.supersample == 1:
+                packed = shade.resolve_and_pack(jnp, rgba, 1, st.srgb_output)
+                band_img = to_image(packed, b)
+                canvas = shade.resolve_and_pack(
+                    jnp,
+                    jnp.broadcast_to(clear, (hpad, wpad, 4)),
+                    1,
+                    st.srgb_output,
+                )
+                img = jax.lax.dynamic_update_slice(
+                    canvas, band_img, (start * th, 0, 0)
+                )
+                return img[: cfg.height, : cfg.width]
+            band_img = to_image(rgba, b)
+            canvas = jnp.broadcast_to(clear, (hpad, wpad, 4))
+            img = jax.lax.dynamic_update_slice(
+                canvas, band_img, (start * th, 0, 0)
+            )
+            return shade.resolve_and_pack(
+                jnp, img[: cfg.height, : cfg.width],
+                st.supersample, st.srgb_output,
+            )
+
+        return go
+
+    case = sum((span > q).astype(I32) for q in band_tiers)
+    return jax.lax.switch(
+        case, [finish_band(q) for q in band_tiers] + [finish_dense], None
     )
 
 

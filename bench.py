@@ -115,6 +115,8 @@ def headline_hash_gate(rgba8, subdiv: int, config: str) -> bool | None:
     root = os.path.dirname(os.path.abspath(__file__))
     if config == "config4_terrain":
         name = "headline_terrain.json"
+    elif config == "config5_flythrough":
+        name = "headline_config5.json"
     elif subdiv == 8:
         name = "headline_config4.json"
     else:
@@ -311,7 +313,8 @@ def main():
     # scale-exactness gate: headline frame vs the offline oracle render
     hash_ok = True
     if (
-        args.config in ("config4_million_tri", "config4_terrain")
+        args.config
+        in ("config4_million_tri", "config4_terrain", "config5_flythrough")
         and not args.small
         and r.settings.pipeline == "fused"
     ):

@@ -12,7 +12,9 @@ Usage: python experiments/oracle_headline.py [--subdiv N] [--out PATH]
                                              [--config NAME]
 --config config4_terrain renders the terrain headline variant instead
 (its own golden: docs/golden/headline_terrain.json, gating
-bench.py --config config4_terrain).
+bench.py --config config4_terrain); --config config5_flythrough pins frame 0
+of the 4xSSAA textured fly-through (docs/golden/headline_config5.json) —
+the purest shade-bound config previously had no at-scale gate (VERDICT r4).
 Runtime at subdiv=8 (1.31M tris): hours of single-core numpy — run detached.
 """
 
@@ -37,10 +39,15 @@ def main():
                     help="output JSON path (default docs/golden/"
                          "headline_config4.json for subdiv=8)")
     ap.add_argument("--config", default="config4_million_tri",
-                    choices=["config4_million_tri", "config4_terrain"])
+                    choices=["config4_million_tri", "config4_terrain",
+                             "config5_flythrough"])
     args = ap.parse_args()
 
-    from ash_renderer_tpu.benchmarks import config4_million_tri, config4_terrain
+    from ash_renderer_tpu.benchmarks import (
+        config4_million_tri,
+        config4_terrain,
+        config5_flythrough,
+    )
     from ash_renderer_tpu.config import derive_raster_config
     from ash_renderer_tpu.oracle.raster_cpu import compose_mvp, render_oracle
     from ash_renderer_tpu.rtypes import LightPack, MaterialsPack
@@ -48,6 +55,8 @@ def main():
     t0 = time.time()
     if args.config == "config4_terrain":
         scene, settings, cams = config4_terrain()
+    elif args.config == "config5_flythrough":
+        scene, settings, cams = config5_flythrough()
     else:
         scene, settings, cams = config4_million_tri(subdiv=args.subdiv)
     cam = cams[0]
@@ -66,11 +75,13 @@ def main():
         specular=np.array([m.specular for m in scene.materials], F32),
         shininess=np.array([m.shininess for m in scene.materials], np.int32),
     )
-    light = LightPack(
-        direction=np.asarray(scene.light.direction, F32),
-        color=np.asarray(scene.light.color, F32),
-        ambient=np.float32(scene.light.ambient),
-    )
+    light = None
+    if scene.light is not None:
+        light = LightPack(
+            direction=np.asarray(scene.light.direction, F32),
+            color=np.asarray(scene.light.color, F32),
+            ambient=np.float32(scene.light.ambient),
+        )
     n_tris = int((packed.tri_v[:, 0] >= 0).sum())
     print(f"scene packed: {n_tris} real tris, cfg={cfg}", flush=True)
     print(f"[{time.time()-t0:.0f}s] starting oracle render", flush=True)
@@ -94,6 +105,8 @@ def main():
     os.makedirs(outdir, exist_ok=True)
     if args.config == "config4_terrain":
         default_name = "headline_terrain.json"
+    elif args.config == "config5_flythrough":
+        default_name = "headline_config5.json"
     elif args.subdiv == 8:
         default_name = "headline_config4.json"
     else:
