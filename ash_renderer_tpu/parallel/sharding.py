@@ -143,7 +143,7 @@ def _slab_pipeline_fused(
     )
     keys = jnp.concatenate([keys_main, keys_tail])
     # sort + wide-pair expansion + sorted-table gathers, window-local
-    rmeta, tbl_sorted, tbl_ext, _sstats = plmod.sort_expand_table(
+    rmeta, tbl_sorted, tbl_ext, sstats = plmod.sort_expand_table(
         statics, comb, keys, tile_row0, rows_per
     )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
@@ -168,7 +168,17 @@ def _slab_pipeline_fused(
         tile_row0=tile_row0,
     )
     overflow = jax.lax.pmax(gstats["clip_overflow"], "rows")
-    return rgba8, overflow
+    # stream-population counters (worst slab): proof that the wide-pair
+    # ext table / budget tiers / live clip tail actually ran under
+    # sharding — the dryrun and density tests assert on these (the code
+    # paths most likely to break the bitwise contract under window-local
+    # keys are exactly the ones a sparse scene never exercises)
+    counters = {
+        k: jax.lax.pmax(sstats[k], "rows")
+        for k in ("n_wide", "wide_pairs_n", "wide_leftover", "live_rows")
+    }
+    counters["n_clipped"] = jax.lax.pmax(gstats["n_clipped"], "rows")
+    return rgba8, overflow, counters
 
 
 def render_frame_sharded_fused(
@@ -203,10 +213,10 @@ def render_frame_sharded_fused(
         body,
         mesh=mesh,
         in_specs=tuple([spec_repl] * 17),
-        out_specs=(P("rows", None, None), spec_repl),
+        out_specs=(P("rows", None, None), spec_repl, spec_repl),
         check_vma=False,
     )
-    rgba8, overflow = fn(
+    rgba8, overflow, counters = fn(
         positions, vert_obj, normals, colors, uvs,
         tri_v, tri_obj, obj_material,
         model_mats, mvp_mats, camera_pos,
@@ -214,7 +224,7 @@ def render_frame_sharded_fused(
     )
     # crop padded past-the-screen slab rows (background by construction)
     rgba8 = rgba8[: statics.settings.height]
-    return rgba8, {"clip_overflow": overflow}
+    return rgba8, {"clip_overflow": overflow, **counters}
 
 
 def render_frame_sharded(

@@ -139,6 +139,7 @@ def main():
     comb_d = comb  # (S+tail, 128) i32 on device
     s_tbl = comb_d.shape[0]
     rng = np.random.default_rng(0)
+    f_rand = jax.jit(lambda tbl, i: tbl[i])
     for n_idx in (131072, 262144, 409600, 524288):
         idx_rand = jnp.asarray(
             rng.integers(0, s_tbl, n_idx).astype(np.int32)
@@ -151,9 +152,8 @@ def main():
         idx_struct = jnp.asarray(
             (base[:, None] + np.arange(8, dtype=np.int32) * 1).reshape(-1)
         )
-        f_rand = jax.jit(lambda i: comb_d[i])
-        tr = timeit(lambda: f_rand(idx_rand))
-        ts = timeit(lambda: f_rand(idx_struct))
+        tr = timeit(lambda: f_rand(comb_d, idx_rand))
+        ts = timeit(lambda: f_rand(comb_d, idx_struct))
         print(
             f"row gather (S={s_tbl}) n={n_idx}: random {tr*1e3:.2f} ms, "
             f"structured {ts*1e3:.2f} ms",

@@ -327,3 +327,88 @@ def test_renderer_headline_1080p_8dev():
     single = dataclasses.replace(settings, n_devices=None)
     rgba_s, _ = Renderer(scene, single).render_frame(cam)
     np.testing.assert_array_equal(np.asarray(rgba_m), np.asarray(rgba_s))
+
+
+def test_sharded_fused_dense_population_counters():
+    """Density coverage for the sharded fused path (VERDICT r4 weak #3):
+    a near-plane-crossing magnified sphere drives the wide-pair ext table,
+    the sorted-table budget tiers AND a live clip tail inside
+    _slab_pipeline_fused — the counters must prove those paths ran, and
+    the frame must stay bitwise equal to single-device."""
+    from ash_renderer_tpu import DirectionalLight, Material, mathx
+    from ash_renderer_tpu.models import icosphere
+    from ash_renderer_tpu.ops import setup_kernel
+    from ash_renderer_tpu.parallel import render_frame_sharded_fused
+    from ash_renderer_tpu.pipeline import render_frame_fused_staged
+
+    n_dev = 4
+    devices = jax.devices()[:n_dev]
+    mesh = make_render_mesh(devices)
+
+    scene = Scene(materials=[Material()])
+    # camera just outside the unit sphere (the bench fly-by's closest-
+    # approach regime): magnified front cap -> wide keys; near-plane
+    # crossing -> live clip fans
+    scene.add_object(
+        SceneObject(
+            mesh=scene.add_mesh(icosphere(2)),
+            model=mathx.translation([0, 0, 1.02]),
+        )
+    )
+    height = 256  # grid_h 32 over 4 slabs
+    settings = RendererSettings(
+        width=128, height=height, clip_budget=512, pipeline="fused",
+        wide_rows=1 << 10, wide_pairs=1 << 13,
+    )
+    cam = Camera()
+    cfg = derive_raster_config(128, height, tile_h=8)
+    packed = scene.pack(meshlets=True)
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(128 / height)
+    mm = scene.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=True, has_atlas=False,
+        has_light=False, interpret=True,
+    )
+    tri_mat = packed.obj_material[
+        np.clip(packed.tri_obj, 0, len(packed.obj_material) - 1)
+    ]
+    ltT, matT = setup_kernel.prep_static(
+        packed.local_tri, tri_mat, packed.tri_v[:, 0] >= 0
+    )
+    mats = MaterialsPack(
+        base_color=np.ones((1, 4), np.float32),
+        tex_id=np.full(1, -1, np.int32),
+        specular=np.zeros(1, np.float32),
+        shininess=np.full(1, 32, np.int32),
+    )
+    arrs = (
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+    )
+    single, aux = render_frame_fused_staged(
+        statics, *arrs, mats, None, None,
+        jnp.asarray(packed.local_tri), jnp.asarray(tri_mat),
+        ltT=jnp.asarray(ltT), matT=jnp.asarray(matT),
+    )
+    sharded, sstats = jax.jit(
+        lambda *a: render_frame_sharded_fused(statics, mesh, *a)
+    )(
+        *arrs, mats, None, None,
+        jnp.asarray(tri_mat), jnp.asarray(ltT), jnp.asarray(matT),
+    )
+    cnt = {k: int(np.asarray(v)) for k, v in sstats.items()}
+    # the paths under test actually ran in at least one slab...
+    assert cnt["n_wide"] > 0, cnt
+    assert cnt["wide_pairs_n"] > 0, cnt
+    assert cnt["n_clipped"] > 0, cnt
+    # ...within budget (overflow would make this a budget test instead)
+    assert cnt["wide_leftover"] == 0, cnt
+    assert cnt["clip_overflow"] == 0, cnt
+    assert (np.asarray(aux["vis_tri"]) >= 0).sum() > 2000
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
