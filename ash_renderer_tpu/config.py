@@ -95,14 +95,16 @@ class RendererSettings:
     # at the cost of 2x grid steps and slightly more spill/wide rows —
     # an A/B knob for hardware measurement.
     fused_tile_h: int = 8
-    # Live-row band gating of the fused pipeline's XLA shade stage: shade
-    # only the smallest static tile-row band (1/4, 1/2, full) covering the
-    # rows with any coverage, compositing it over a clear canvas — the
-    # per-pixel tap-gather chain is index-count-bound, so frames whose
-    # coverage is a horizontal band (terrain ~6% of 1080p, the config5
-    # fly-through) stop paying the dense full-screen pass.  Bit-identical
-    # (out-of-band rows have zero coverage by construction — see
-    # pipeline._shade_from_planes).  Full-frame single-device path only.
+    # Live-row band gating of the shade stage's QUAD-TAP GATHER: fetch
+    # texels only for the smallest static tile-row band (1/4, 1/2, full)
+    # covering the rows with any coverage — the gather is index-count-
+    # bound, so frames whose coverage is a horizontal band (terrain ~6%
+    # of 1080p, the config5 fly-through) stop paying the dense full-
+    # screen fetch.  Bit-identical (out-of-band pixels are invalid by
+    # construction and masked before packing); only the gather sits in
+    # the switch branches — banding the whole shade chain blew the
+    # per-shape device load 3x (see pipeline._shade_from_planes).
+    # Full-frame single-device path, textured scenes only.
     shade_row_band: bool = True
     # Frame-coherence reuse of the fused front stage: when the per-frame
     # host inputs (model + mvp matrices — the reference's 192-byte UBO,

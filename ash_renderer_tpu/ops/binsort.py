@@ -48,6 +48,18 @@ GRP_D = 2
 GRP_NONE = 3
 N_GRP = 4
 
+# Fine sub-tile stream (round 5): triangles with no tile spill whose pixel
+# AABB fits ONE 16-lane window of their tile get a per-(tile, subcol) key
+# AFTER the coarse region — the raster kernel evaluates their runs in
+# window-major packed groups (8 triangles per (8, 128) evaluation instead
+# of one), merging per-window with the same order-independent (d16, -id)
+# reduction, so frames are bit-identical to the coarse-only stream.
+# Key space: coarse [0, n_tiles*4), fine [n_tiles*4, n_tiles*12),
+# wide = n_tiles*12, dead = n_tiles*12 + 1.
+FINE_W = 16  # window width in pixels (one sublane row of the eval block)
+N_FINE = 8  # windows per 128-px tile
+KEYS_PER_TILE = N_GRP + N_FINE
+
 
 def stream_keys(valid, x0, y0, x1, y1, x2, y2, cfg: RasterConfig,
                 tile_row0: int = 0, tile_rows: int | None = None):
@@ -92,11 +104,17 @@ def stream_keys(valid, x0, y0, x1, y1, x2, y2, cfg: RasterConfig,
     ).astype(I32)
 
     tile = (ty0 * gw + tx0).astype(I32)
-    key_wide = I32(n_tiles * N_GRP)
-    key_dead = I32(n_tiles * N_GRP + 1)
+    fine = (grp == GRP_NONE) & (pxmin // FINE_W == pxmax // FINE_W)
+    subc = (pxmin // FINE_W) % (cfg.tile_w // FINE_W)
+    key_fine = (n_tiles * N_GRP + tile * N_FINE + subc).astype(I32)
+    key_wide = I32(n_tiles * KEYS_PER_TILE)
+    key_dead = I32(n_tiles * KEYS_PER_TILE + 1)
     return jnp.where(
         live,
-        jnp.where(wide, key_wide, tile * N_GRP + grp),
+        jnp.where(
+            wide, key_wide,
+            jnp.where(fine, key_fine, tile * N_GRP + grp),
+        ),
         key_dead,
     )
 
@@ -134,10 +152,16 @@ def stream_keys_from_aabb(valid, extx, exty, cfg: RasterConfig,
         jnp.where(spill_r, GRP_R, jnp.where(spill_d, GRP_D, GRP_NONE)),
     ).astype(I32)
     tile = (ty0 * gw + tx0).astype(I32)
+    fine = (grp == GRP_NONE) & (pxmin // FINE_W == pxmax // FINE_W)
+    subc = (pxmin // FINE_W) % (cfg.tile_w // FINE_W)
+    key_fine = (n_tiles * N_GRP + tile * N_FINE + subc).astype(I32)
     return jnp.where(
         live,
-        jnp.where(wide, I32(n_tiles * N_GRP), tile * N_GRP + grp),
-        I32(n_tiles * N_GRP + 1),
+        jnp.where(
+            wide, I32(n_tiles * KEYS_PER_TILE),
+            jnp.where(fine, key_fine, tile * N_GRP + grp),
+        ),
+        I32(n_tiles * KEYS_PER_TILE + 1),
     )
 
 
@@ -156,7 +180,7 @@ def sort_and_bounds(key, cfg: RasterConfig, tile_rows: int | None = None,
     # the Pallas counting kernel (ops/bincount.py) — the searchsorted scan
     # it replaces cost ~0.41 us/query (2.4 ms at the headline's 8.2k bins)
     starts = sorted_run_bounds(
-        key_sorted, n_tiles * N_GRP + 2, interpret=interpret
+        key_sorted, n_tiles * KEYS_PER_TILE + 2, interpret=interpret
     )
     bounds = jnp.concatenate([starts, jnp.array([s_rows], I32)])
     return order, bounds
@@ -215,8 +239,8 @@ def expand_wide_pairs(comb, order, bounds, cfg: RasterConfig,
     off = I32(-cfg.min_coord)
     s_rows = order.shape[0]
 
-    ws = bounds[n_tiles * N_GRP]
-    we = bounds[n_tiles * N_GRP + 1]
+    ws = bounds[n_tiles * KEYS_PER_TILE]
+    we = bounds[n_tiles * KEYS_PER_TILE + 1]
     n_wide = we - ws
 
     def live(_):
@@ -289,15 +313,21 @@ def expand_wide_pairs(comb, order, bounds, cfg: RasterConfig,
 
 
 def stream_ranges_host(bounds: np.ndarray, tile: int, gw: int, n_tiles: int):
-    """Host/debug helper: the 5 position ranges tile ``tile`` streams, in
-    processing order (own, above-prefix, left-prefix, diag-prefix, wide).
-    Mirrors the kernel's range construction; used by tests and the numpy
-    reference of the fused pipeline."""
+    """Host/debug helper: the 6 position ranges tile ``tile`` streams, in
+    processing order (own, above-prefix, left-prefix, diag-prefix, wide,
+    own-fine).  Mirrors the kernel's range construction; used by tests and
+    the numpy reference of the fused pipeline."""
     def b(k):
         return int(bounds[k])
 
     tx, ty = tile % gw, tile // gw
-    ranges = [(b(tile * N_GRP), b((tile + 1) * N_GRP))]  # own full run
+    own_end = (
+        b((tile + 1) * N_GRP)
+        if tile + 1 < n_tiles
+        else b(n_tiles * N_GRP)  # last tile: coarse region ends where the
+        # fine region starts
+    )
+    ranges = [(b(tile * N_GRP), own_end)]  # own full coarse run
     if ty > 0:
         a = tile - gw
         # above: wants {dr, d} = groups 0..2 inclusive (r extra, harmless)
@@ -315,5 +345,17 @@ def stream_ranges_host(bounds: np.ndarray, tile: int, gw: int, n_tiles: int):
         ranges.append((b(d * N_GRP), b(d * N_GRP + 1)))  # diag: {dr}
     else:
         ranges.append((0, 0))
-    ranges.append((b(n_tiles * N_GRP), b(n_tiles * N_GRP + 1)))  # wide
+    # wide run
+    ranges.append(
+        (b(n_tiles * KEYS_PER_TILE), b(n_tiles * KEYS_PER_TILE + 1))
+    )
+    # own fine region (8 subcol bins, contiguous; no neighbor streams it —
+    # fine triangles never spill)
+    fb = n_tiles * N_GRP
+    fine_end = (
+        b(fb + (tile + 1) * N_FINE)
+        if tile + 1 < n_tiles
+        else b(n_tiles * KEYS_PER_TILE)
+    )
+    ranges.append((b(fb + tile * N_FINE), fine_end))
     return ranges

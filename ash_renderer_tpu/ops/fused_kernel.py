@@ -56,14 +56,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import specmath as sm
 from ..config import RasterConfig
-from .binsort import N_GRP
+from .binsort import FINE_W, KEYS_PER_TILE, N_FINE, N_GRP
 from .tritables import ID_COL, TBL_COLS
 
 F32 = np.float32
 I32 = np.int32
 I8 = np.int8
 
-N_RANGES = 6
+N_RANGES = 7  # own, above, left, diag, wide, wide-pairs(ext), own-fine
+EXT_RANGE = 5  # the wide-PAIR run streams the separate ext table
+FINE_RANGE = 6  # the tile's fine sub-tile run (window-major packed eval)
 RMETA_COLS = 2  # rs, re per (tile, range)
 GRP_T = 32  # triangles per visibility evaluation group (sublane dim)
 TILE_H = 8  # default tile height; kernels honor cfg.tile_h (4 or 8)
@@ -278,11 +280,13 @@ def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0,
     window's first tile row (0 full-frame; the slab origin under
     shard_map — the kernel offsets its sample rows by it).
 
-    Ranges per tile (processing order): own full run, ABOVE prefix
+    Ranges per tile (processing order): own full coarse run, ABOVE prefix
     {dr, r, d}, LEFT prefix {dr, r}, DIAGONAL prefix {dr}, wide run,
-    wide-PAIR run — see ops/binsort.py for why prefixes of whole-group
-    runs suffice.  The pair run is the tile's slice of the expanded wide
-    pairs appended after ``order`` (binsort.expand_wide_pairs):
+    wide-PAIR run, own FINE run — see ops/binsort.py for why prefixes of
+    whole-group runs suffice and for the fine key region (no neighbor
+    streams a fine run: fine triangles never spill).  The pair run is the
+    tile's slice of the expanded wide pairs appended after ``order``
+    (binsort.expand_wide_pairs):
     [pair_base + pair_starts[t], pair_base + pair_starts[t+1]); the global
     wide run holds only the budget overflow.  pair_starts=None -> empty
     pair runs (the expansion-free paths).
@@ -295,8 +299,12 @@ def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0,
     ty_ok = jnp.asarray(tt // gw > 0)  # has an ABOVE neighbor
 
     c = [bounds[k : N_GRP * n_tiles : N_GRP] for k in range(N_GRP)]
-    wide_s = bounds[N_GRP * n_tiles : N_GRP * n_tiles + 1]
-    wide_e = bounds[N_GRP * n_tiles + 1 : N_GRP * n_tiles + 2]
+    fb = N_GRP * n_tiles
+    fine0 = bounds[fb : fb + N_FINE * n_tiles : N_FINE]
+    wide_s = bounds[KEYS_PER_TILE * n_tiles : KEYS_PER_TILE * n_tiles + 1]
+    wide_e = bounds[
+        KEYS_PER_TILE * n_tiles + 1 : KEYS_PER_TILE * n_tiles + 2
+    ]
 
     def shift(x, k, ok):  # value of tile t-k, masked (zeros elsewhere)
         if k >= n_tiles:  # tiny grids: no tile has that neighbor
@@ -304,7 +312,9 @@ def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0,
         v = jnp.concatenate([jnp.zeros(k, x.dtype), x[: n_tiles - k]])
         return jnp.where(ok, v, 0)
 
-    own = (c[0], jnp.concatenate([c[0][1:], wide_s]))
+    # own coarse run ends where the next tile's begins; the LAST tile's
+    # ends where the fine key region starts (bounds[fb])
+    own = (c[0], jnp.concatenate([c[0][1:], bounds[fb : fb + 1]]))
     above = (shift(c[0], gw, ty_ok), shift(c[3], gw, ty_ok))
     left = (shift(c[0], 1, tx_ok), shift(c[2], 1, tx_ok))
     dg_ok = tx_ok & ty_ok
@@ -327,13 +337,16 @@ def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0,
             pair_base + pair_starts[:-1],
             pair_base + pair_starts[1:],
         )
+    # own fine run: 8 contiguous subcol bins; ends at the next tile's
+    # fine start (last tile: the wide run start)
+    fine = (fine0, jnp.concatenate([fine0[1:], wide_s]))
     meta = jnp.stack(
         [
             jnp.stack(p, axis=-1)
-            for p in (own, above, left, diag, wide, pairs)
+            for p in (own, above, left, diag, wide, pairs, fine)
         ],
         axis=1,
-    )  # (n_tiles, 6, 2)
+    )  # (n_tiles, 7, 2)
     rs = meta[..., 0]
     re = jnp.maximum(meta[..., 1], rs)
     flat = jnp.stack([rs, re], axis=-1).reshape(-1)
@@ -357,6 +370,7 @@ def _kernel(
     out_p1,
     out_p2,
     out_p3,
+    accf_s,
     sems,
     *,
     cfg: RasterConfig,
@@ -365,6 +379,7 @@ def _kernel(
     phases: str = "vde",
     seg: int = TILE_W,
     shade_mode=None,
+    packed_fine: bool = True,
 ):
     t = pl.program_id(0)
     th = cfg.tile_h  # 8 (default) or 4; lanes are always the 128 columns
@@ -407,7 +422,7 @@ def _kernel(
     # which the pipeline gathers only on frames with a live wide run —
     # static frames never pay the pair budget's gather (pipeline.py)
     def src_ref(i):
-        return ext_ref if i == N_RANGES - 1 else tbl_ref
+        return ext_ref if i == EXT_RANGE else tbl_ref
 
     def start_seg(i, ab):
         pltpu.make_async_copy(
@@ -491,7 +506,10 @@ def _kernel(
 
     if "v" in phases:
         prefetch_first_windows()
-    for rng_i in range(N_RANGES if "v" in phases else 0):
+    v_coarse = [
+        i for i in range(N_RANGES) if not (packed_fine and i == FINE_RANGE)
+    ]
+    for rng_i in (v_coarse if "v" in phases else []):
         rs, re = rr[rng_i]
         ab0 = ab0s[rng_i]
         nsw = nsws[rng_i]
@@ -529,6 +547,167 @@ def _kernel(
 
     acc_d = list(acc[:th])
     acc_t = list(acc[th:])
+
+    # ---------------- Phase V, fine range: window-major packed eval ----
+    # 8 consecutive fine rows (sorted by (tile, subcol)) form one group;
+    # sublane i evaluates triangle i over its OWN 16-lane window with
+    # lanes = (row, xoff) — one (8, 128) evaluation covers 8 triangles'
+    # ENTIRE tile footprint (each window contains its triangle's pixel
+    # AABB by the fine-key definition, so no coverage is lost).  Winners
+    # accumulate per WINDOW (order-independent (d16, -id) reduction — any
+    # grouping/order is bit-identical) and one per-tile epilogue relays
+    # the 8 window rows into the screen-layout accumulators with static
+    # lane rolls.  ~8x fewer (slot, pixel) evaluations than streaming the
+    # same rows through the coarse path (phase V's measured ~96% waste:
+    # avg ~4 covered px per 1024-px slot evaluation at the headline).
+    if "v" in phases and packed_fine:
+        rs_f, re_f = rr[FINE_RANGE]
+        ab0_f = ab0s[FINE_RANGE]
+        nsw_f = nsws[FINE_RANGE]
+        xo = colp % FINE_W  # (1, 128): xoff within the window
+        rowl = jax.lax.broadcasted_iota(I32, (1, TILE_W), 1) // FINE_W
+        submask = [
+            jax.lax.broadcasted_iota(I32, (N_FINE, 1), 0) == I32(j)
+            for j in range(N_FINE)
+        ]
+
+        # window accumulators live in scratch (accf_s rows 0-7 = d16,
+        # 8-15 = ids) so the streaming loop can sit under pl.when (DMA
+        # refs) while the epilogue below reads them unconditionally
+        accf_s[0:N_FINE, :] = jnp.full((N_FINE, TILE_W), sm.DEPTH_MAX, I32)
+        accf_s[N_FINE : 2 * N_FINE, :] = jnp.full(
+            (N_FINE, TILE_W), sm.BG_TRI, I32
+        )
+
+        def swf_body(w, accf):
+            accf_d, accf_t = accf
+            ab = pl.multiple_of(ab0_f + w * seg, 8)
+            wait_seg(FINE_RANGE, ab)
+            blk = tbl_bufs[FINE_RANGE]
+            vcol = (subl >= rs_f - ab) & (subl < re_f - ab)
+            recs_s[:, 0:6] = jnp.where(vcol, blk[:, 0:6], I32(0))
+            recs_s[:, 6:7] = jnp.where(
+                vcol, blk[:, ID_COL : ID_COL + 1], I32(-2)
+            )
+
+            @pl.when(w + 1 < nsw_f)
+            def _():
+                start_seg(FINE_RANGE, pl.multiple_of(ab + seg, 8))
+
+            # 32-row groups: the 8-way window merge below runs once per
+            # GROUP regardless of group size, so wider groups amortize it
+            # 4x vs 8-row groups (measured: 8-row groups made the packed
+            # stream a net LOSS — static 36.2 -> 30.8 FPS)
+            g0 = jnp.maximum(rs_f - ab, 0) // GRP_T
+            ng = -(-jnp.minimum(re_f - ab, seg) // GRP_T)
+
+            def grpf_body(g, accf):
+                accf_d, accf_t = accf
+                off = pl.multiple_of(GRP_T * g, GRP_T)
+                blk_g = recs_s[pl.ds(off, GRP_T), 0:6]
+                ids_g = recs_s[pl.ds(off, GRP_T), 6:7]
+                x0, y0 = unpack16(blk_g[:, 0:1])
+                x1, y1 = unpack16(blk_g[:, 1:2])
+                x2, y2 = unpack16(blk_g[:, 2:3])
+                zq01 = blk_g[:, 3:4]
+                zq0 = zq01 & 0xFFFF
+                zq1 = (zq01 >> 16) & 0xFFFF
+                zq2 = blk_g[:, 4:5]
+                inv_area = jax.lax.bitcast_convert_type(blk_g[:, 5:6], F32)
+
+                a0, b0, tl0 = sm.edge_coeffs(x1, y1, x2, y2)
+                a1, b1, tl1 = sm.edge_coeffs(x2, y2, x0, y0)
+                a2, b2, tl2 = sm.edge_coeffs(x0, y0, x1, y1)
+                t0 = I32(1) - tl0.astype(I32)
+                t1 = I32(1) - tl1.astype(I32)
+                t2 = I32(1) - tl2.astype(I32)
+                # the row's window (same formula as the key's subc)
+                xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+                pxmin = jnp.maximum(0, (xmin - half + ss - 1) // ss)
+                s = (pxmin % TILE_W) // FINE_W  # (8, 1)
+                sxw = sx0 + (FINE_W * s) * ss  # window-origin sample x
+                e0 = (
+                    sm.edge_at(a0, b0, x1, y1, sxw, sy0)
+                    + (a0 * ss) * xo + (b0 * ss) * rowl
+                )
+                e1 = (
+                    sm.edge_at(a1, b1, x2, y2, sxw, sy0)
+                    + (a1 * ss) * xo + (b1 * ss) * rowl
+                )
+                e2 = (
+                    sm.edge_at(a2, b2, x0, y0, sxw, sy0)
+                    + (a2 * ss) * xo + (b2 * ss) * rowl
+                )
+                cov = (e0 >= t0) & (e1 >= t1) & (e2 >= t2)
+                d16 = sm.interp_depth16(
+                    e0, e1, e2, inv_area, zq0, zq1, zq2, jnp
+                )
+                dmask = jnp.where(cov, d16, I32(sm.DEPTH_MAX + 1))
+                for j in range(N_FINE):
+                    dm = jnp.where(s == I32(j), dmask, I32(sm.DEPTH_MAX + 1))
+                    dmin = jnp.min(dm, axis=0, keepdims=True)  # (1, 128)
+                    twin = jnp.max(
+                        jnp.where(dm == dmin, ids_g, I32(sm.BG_TRI)),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    better = sm.depth_key_better(
+                        dmin, twin, accf_d[j : j + 1], accf_t[j : j + 1]
+                    )
+                    upd = submask[j] & better
+                    accf_d = jnp.where(upd, dmin, accf_d)
+                    accf_t = jnp.where(upd, twin, accf_t)
+                return accf_d, accf_t
+
+            return jax.lax.fori_loop(g0, ng, grpf_body, (accf_d, accf_t))
+
+        @pl.when(nsw_f > 0)
+        def _():
+            accf = jax.lax.fori_loop(
+                0,
+                nsw_f,
+                swf_body,
+                (accf_s[0:N_FINE, :], accf_s[N_FINE : 2 * N_FINE, :]),
+            )
+            accf_s[0:N_FINE, :] = accf[0]
+            accf_s[N_FINE : 2 * N_FINE, :] = accf[1]
+
+        # epilogue: relay window rows -> screen rows and merge (runs for
+        # every tile; an empty fine run leaves the DEPTH_MAX/BG init in
+        # accf_s and every merge is a no-op by the (d16, -id) key).
+        # Window j's element (r, x) lives at accf[j, FINE_W*r + x] and
+        # belongs at screen lane FINE_W*j + x of acc row r.  One STRIDED
+        # roll per (screen row, value) shifts sublane j by
+        # FINE_W*(j - r) in a single op (shift -FINE_W*r, stride FINE_W
+        # along sublanes); 8 masked selects then pick sublane c//FINE_W
+        # per lane.
+        accf_d = accf_s[0:N_FINE, :]
+        accf_t = accf_s[N_FINE : 2 * N_FINE, :]
+        winmask = [
+            (colp // FINE_W) == I32(j) for j in range(N_FINE)
+        ]
+        for r in range(th):
+            sh = (-FINE_W * r) % TILE_W
+            rolled_d = pltpu.roll(
+                accf_d, sh, 1, stride=FINE_W, stride_axis=0
+            )
+            rolled_t = pltpu.roll(
+                accf_t, sh, 1, stride=FINE_W, stride_axis=0
+            )
+            cand_d = jnp.full((1, TILE_W), sm.DEPTH_MAX, I32)
+            cand_t = jnp.full((1, TILE_W), sm.BG_TRI, I32)
+            for j in range(N_FINE):
+                cand_d = jnp.where(
+                    winmask[j], rolled_d[j : j + 1], cand_d
+                )
+                cand_t = jnp.where(
+                    winmask[j], rolled_t[j : j + 1], cand_t
+                )
+            better = sm.depth_key_better(
+                cand_d, cand_t, acc_d[r], acc_t[r]
+            )
+            acc_d[r] = jnp.where(better, cand_d, acc_d[r])
+            acc_t[r] = jnp.where(better, cand_t, acc_t[r])
     # th=8 vis blocks are 2-D (th, 128); th=4 blocks are 3-D (1, th, 128)
     # because Mosaic requires the output block sublane dim be divisible by
     # 8 or equal to the array dim — (tile_rows, th, gw*128) satisfies it
@@ -681,7 +860,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "interpret", "tile_rows", "phases", "seg", "shade_mode"
+        "cfg", "interpret", "tile_rows", "phases", "seg", "shade_mode",
+        "packed_fine",
     ),
 )
 def rasterize_distribute(
@@ -694,6 +874,7 @@ def rasterize_distribute(
     phases: str = "vde",
     seg: int = TILE_W,
     shade_mode=None,
+    packed_fine: bool = True,
     materials=None,
     atlas=None,
     light=None,
@@ -804,13 +985,14 @@ def rasterize_distribute(
             pltpu.VMEM((PLANE_ROWS, n_pix), I32),
             pltpu.VMEM((PLANE_ROWS, n_pix), I32),
             pltpu.VMEM((PLANE_ROWS, n_pix), I32),
+            pltpu.VMEM((2 * 8, TILE_W), I32),  # fine window accumulators
             pltpu.SemaphoreType.DMA((N_RANGES,)),
         ],
     )
     vis_d, vis_t, planes = pl.pallas_call(
         functools.partial(
             _kernel, cfg=cfg, gw=gw, n_tiles=n_tiles, phases=phases,
-            seg=seg, shade_mode=shade_mode,
+            seg=seg, shade_mode=shade_mode, packed_fine=packed_fine,
         ),
         out_shape=out_shape,
         grid_spec=grid_spec,

@@ -48,7 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import specmath as sm
 from ..config import RasterConfig
 from ..scene import MESHLET_TRIS, MESHLET_VERTS
-from .binsort import GRP_D, GRP_DR, GRP_NONE, GRP_R, N_GRP
+from .binsort import (
+    FINE_W,
+    GRP_D,
+    GRP_DR,
+    GRP_NONE,
+    GRP_R,
+    KEYS_PER_TILE,
+    N_FINE,
+    N_GRP,
+)
 from .tritables import ID_COL, TBL_COLS
 
 F32 = np.float32
@@ -252,10 +261,18 @@ def _kernel(ltT_ref, matT_ref, tblT_ref, comb_ref, key_ref, flag_ref,
     ).astype(I32)
     tile = (ty0 * cfg.grid_w + tx0).astype(I32)
     n_tiles = cfg.n_tiles
+    # fine sub-tile stream (ops/binsort.py key-space doc): no spill AND
+    # the pixel AABB fits one 16-lane window
+    fine = (grp == GRP_NONE) & (pxmin // FINE_W == pxmax // FINE_W)
+    subc = (pxmin // FINE_W) % (cfg.tile_w // FINE_W)
+    key_fine = (n_tiles * N_GRP + tile * N_FINE + subc).astype(I32)
     key = jnp.where(
         live,
-        jnp.where(wide, I32(n_tiles * N_GRP), tile * N_GRP + grp),
-        I32(n_tiles * N_GRP + 1),
+        jnp.where(
+            wide, I32(n_tiles * KEYS_PER_TILE),
+            jnp.where(fine, key_fine, tile * N_GRP + grp),
+        ),
+        I32(n_tiles * KEYS_PER_TILE + 1),
     )
     key_ref[0] = key
     flag_ref[0] = (

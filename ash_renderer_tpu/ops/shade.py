@@ -76,12 +76,19 @@ def _normalize3(v, xp):
 
 
 def sample_texture(
-    xp, atlas, tex_id, u, v, level
+    xp, atlas, tex_id, u, v, level, quad_gather=None
 ):
     """Wrap-addressed bilinear tap at an explicit mip level.
 
     tex_id/level are per-pixel int32; negative tex_id pixels still compute a
     (clamped) tap and are masked by the caller.
+
+    quad_gather: optional replacement for the dense quad-table row gather
+    (called with the per-pixel tap indices, must return the (..., 4)
+    packed quads).  The band-gated shade path passes a gather that fetches
+    only the live tile-row band and zero-fills the rest — bit-identical
+    output because every out-of-band pixel is invalid and masked before
+    the frame is packed (pipeline._shade_from_planes).
     """
     from ..textures import MAX_LEVELS
 
@@ -108,7 +115,11 @@ def sample_texture(
     # table stores [texel, right, down, downright] with the same wrap
     # addressing the four separate taps used (textures.build_quads), so the
     # values — and the interpolation below — are bit-identical.
-    quad = _take(atlas.quads, off + iv0w * w + iu0w, xp)  # (..., 4) i32
+    tap = off + iv0w * w + iu0w
+    if quad_gather is not None:
+        quad = quad_gather(tap)  # (..., 4) i32
+    else:
+        quad = _take(atlas.quads, tap, xp)  # (..., 4) i32
 
     def unpack(t32):
         # unpack packed-RGBA int32 with exact integer shifts
@@ -369,11 +380,13 @@ def shade_surface(
     light=None,
     camera_pos=None,
     clear_color=(0.0, 0.0, 0.0, 1.0),
+    quad_gather=None,
 ):
     """The surface half of shading, from interpolated values: material
     modulation, mip selection (from interp_fields' raw derivatives) +
     texture tap, Blinn-Phong lighting, background clear.  attr: list of 12
-    interpolated channels; duv: (durx, dvrx, dury, dvry)."""
+    interpolated channels; duv: (durx, dvrx, dury, dvry).
+    quad_gather: see sample_texture (band-gated tap fetch)."""
     color = xp.stack(attr[0:4], axis=-1)
     normal = xp.stack(attr[4:7], axis=-1)
     u, v = attr[7], attr[8]
@@ -387,7 +400,9 @@ def shade_surface(
         if atlas is not None:
             tex_id = _take(materials.tex_id, mat, xp)
             level = _mip_from_raws(xp, duv, atlas, tex_id)
-            texel = sample_texture(xp, atlas, tex_id, u, v, level)
+            texel = sample_texture(
+                xp, atlas, tex_id, u, v, level, quad_gather=quad_gather
+            )
             rgba = xp.where((tex_id >= 0)[..., None], rgba * texel, rgba)
 
     if light is not None:
@@ -432,6 +447,7 @@ def combine_from_prelight(
     xp, valid, p_ch, diffuse_ch, spec, lit, tap, fu, fv, texmask,
     atlas=None, light=None, has_materials=True,
     clear_color=(0.0, 0.0, 0.0, 1.0),
+    quad_gather=None,
 ):
     """The post-tap half of shade_surface, consuming the fused kernel's
     phase F planes: quad gather + bilinear lerp (sample_texture's tap
@@ -443,7 +459,10 @@ def combine_from_prelight(
     channel arrays; spec/lit/tap/fu/fv/texmask per-pixel arrays.  atlas
     None = no texture stage; light None = no lighting stage."""
     if atlas is not None:
-        quad = _take(atlas.quads, tap, xp)  # (..., 4) packed texels
+        if quad_gather is not None:
+            quad = quad_gather(tap)  # (..., 4) packed texels
+        else:
+            quad = _take(atlas.quads, tap, xp)
 
         def unpack_ch(t32, ch):
             return ((t32 >> (8 * ch)) & 255).astype(F32) * F32(1.0 / 255.0)

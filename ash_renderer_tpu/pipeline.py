@@ -154,18 +154,17 @@ def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
     (H, W) vis_t never round-trips through a relayout.
 
     Live-row band gating (settings.shade_row_band, full-frame only): the
-    per-pixel shade chain (the quad tap gather above all) runs dense over
-    every padded pixel though coverage can be a small horizontal band
-    (terrain covers ~6% of 1080p).  The winner plane already tells which
-    TILE ROWS carry any coverage; a lax.switch picks the smallest static
-    row-band tier covering the live span, shades only that band, and
-    composites it over a clear-color canvas.  Bit-identical: in-band
-    pixels run the identical op sequence on identical values, and every
-    out-of-band pixel is invalid by construction, so the dense path would
-    emit exactly the clear color there (the canvas is filled through the
-    same resolve/pack ops).  Tier count stays at 2 — program size drives
-    per-shape device load on this backend (DESIGN.md tier-ladder
-    negative).
+    QUAD-TAP GATHER — the index-count-bound dominant cost of this stage —
+    is gated to the smallest static tile-row band tier (1/4, 1/2, dense)
+    covering the rows with any coverage (from the kernel's winner plane);
+    out-of-band quads are zero-filled.  Bit-identical: every out-of-band
+    pixel is invalid by construction, so whatever texel its garbage tap
+    would have fetched is masked before packing either way (band parity
+    tests pin every branch).  Only the gather sits inside the lax.switch —
+    a first cut banded the WHOLE shade chain and its 3 branch copies blew
+    the per-shape device load 32.6 s -> 93 s warm-cache at the headline
+    (the round-4 tier-ladder effect), for ~2 ms extra runtime win; the
+    elementwise combine is HBM-cheap dense and stays shared.
 
     tile_row0: first tile row of this slab (traced under shard_map); when
     nonzero the caller guarantees the slab needs no row crop."""
@@ -186,43 +185,86 @@ def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
         light,
     )
 
-    def shade_tiles(sub):
-        """The per-pixel shade chain on a (k, 24, n_pix) tile-flat slice —
-        elementwise + gathers only, so any tile subset produces the same
-        bytes it would inside the full run."""
-        vis_tf = sub[:, fused_kernel.VIS_ROW, :]
-        valid = vis_tf >= 0
+    # tile-row band tiers for the quad-tap gather (alignment-free —
+    # dynamic_slice takes any offset): ceil(gh/4), ceil(gh/2); tiers that
+    # don't split are dropped
+    band_tiers = (
+        sorted({-(-(gh * n) // d) for n, d in ((1, 4), (1, 2))} - {gh})
+        if full_frame and st.shade_row_band and statics.has_atlas
+        else []
+    )
+    quad_gather = None
+    if band_tiers:
+        valid_rows = (
+            planes[:, fused_kernel.VIS_ROW, :] >= 0
+        ).reshape(gh, gw * n_pix)
+        row_live = jnp.any(valid_rows, axis=1)  # (gh,)
+        lo = jnp.argmax(row_live).astype(I32)
+        hi = I32(gh - 1) - jnp.argmax(row_live[::-1]).astype(I32)
+        span = jnp.where(jnp.any(row_live), hi - lo + 1, I32(0))
+        case = sum((span > q).astype(I32) for q in band_tiers)
 
-        def f(i):
-            return sub[:, i, :]
+        def quad_gather(tap):
+            # tap: (n_tiles, n_pix) i32 -> (n_tiles, n_pix, 4) quads; the
+            # switch branches hold ONLY slice + gather + update (small
+            # programs — device load stays flat)
+            def band(b):
+                def go(_):
+                    start = jnp.clip(lo, 0, gh - b)
+                    sub = jax.lax.dynamic_slice(
+                        tap, (start * gw, 0), (b * gw, n_pix)
+                    )
+                    q = shade._take(atlas.quads, sub, jnp)
+                    return jax.lax.dynamic_update_slice(
+                        jnp.zeros((n_tiles, n_pix, 4), q.dtype),
+                        q,
+                        (start * gw, 0, 0),
+                    )
 
-        if smode is not None:
-            # phase F planes: the kernel already ran the surface math;
-            # only the quad tap + lerp + combine remain
-            fk = fused_kernel
-            _, _, has_m, has_a, has_l = smode
-            return shade.combine_from_prelight(
-                jnp,
-                valid,
-                [sm_bitcast(f(fk.F_P + ch)) for ch in range(4)],
-                [sm_bitcast(f(fk.F_DIFF + i)) for i in range(3)],
-                sm_bitcast(f(fk.F_SPEC)),
-                f(fk.F_LIT),
-                f(fk.F_TAP),
-                sm_bitcast(f(fk.F_FU)),
-                sm_bitcast(f(fk.F_FV)),
-                f(fk.F_TEXMASK),
-                atlas=atlas if has_a else None,
-                light=light if has_l else None,
-                has_materials=has_m,
-                clear_color=st.clear_color,
+                return go
+
+            def dense(_):
+                return shade._take(atlas.quads, tap, jnp)
+
+            return jax.lax.switch(
+                case, [band(q) for q in band_tiers] + [dense], None
             )
+
+    vis_tf = planes[:, fused_kernel.VIS_ROW, :]
+    valid = vis_tf >= 0
+
+    def f(i):
+        return planes[:, i, :]
+
+    if smode is not None:
+        # phase F planes: the kernel already ran the surface math; only
+        # the quad tap + lerp + combine remain
+        fk = fused_kernel
+        _, _, has_m, has_a, has_l = smode
+        rgba = shade.combine_from_prelight(
+            jnp,
+            valid,
+            [sm_bitcast(f(fk.F_P + ch)) for ch in range(4)],
+            [sm_bitcast(f(fk.F_DIFF + i)) for i in range(3)],
+            sm_bitcast(f(fk.F_SPEC)),
+            f(fk.F_LIT),
+            f(fk.F_TAP),
+            sm_bitcast(f(fk.F_FU)),
+            sm_bitcast(f(fk.F_FV)),
+            f(fk.F_TEXMASK),
+            atlas=atlas if has_a else None,
+            light=light if has_l else None,
+            has_materials=has_m,
+            clear_color=st.clear_color,
+            quad_gather=quad_gather if has_a else None,
+        )
+    else:
         # legacy planes: 12 interpolated attr channels, 4 raw uv screen
         # derivatives, material id — full shade_surface in XLA
         attr = [sm_bitcast(f(i)) for i in range(12)]
         duv = tuple(sm_bitcast(f(12 + k)) for k in range(4))
         mat_id = f(16)
-        return shade.shade_surface(
+        rgba = shade.shade_surface(
             jnp,
             valid,
             attr,
@@ -233,81 +275,22 @@ def _shade_from_planes(statics, planes, camera_pos, materials, atlas,
             light=light if statics.has_light else None,
             camera_pos=camera_pos,
             clear_color=st.clear_color,
+            quad_gather=quad_gather,
         )
 
-    def to_image(x, rows_g):
-        return (
-            x.reshape(rows_g, gw, th, tw, 4).transpose(0, 2, 1, 3, 4)
-            .reshape(rows_g * th, wpad, 4)
+    def to_image(x):
+        img = (
+            x.reshape(gh, gw, th, tw, 4).transpose(0, 2, 1, 3, 4)
+            .reshape(hpad, wpad, 4)
         )
-
-    def finish_dense(_=None):
-        rgba = shade_tiles(planes)
         rows = cfg.height if full_frame else hpad
-        if st.supersample == 1:
-            # pack first (4 u8/px), relayout the small image
-            packed = shade.resolve_and_pack(jnp, rgba, 1, st.srgb_output)
-            return to_image(packed, gh)[:rows, : cfg.width]
-        return shade.resolve_and_pack(
-            jnp, to_image(rgba, gh)[:rows, : cfg.width],
-            st.supersample, st.srgb_output,
-        )
+        return img[:rows, : cfg.width]
 
-    # tile-row band tiers (alignment-free — dynamic_slice takes any
-    # offset): ceil(gh/4), ceil(gh/2); tiers that don't split are dropped
-    band_tiers = (
-        sorted({-(-(gh * n) // d) for n, d in ((1, 4), (1, 2))} - {gh})
-        if full_frame and st.shade_row_band
-        else []
-    )
-    if not band_tiers:
-        return finish_dense()
-
-    valid_rows = (
-        planes[:, fused_kernel.VIS_ROW, :] >= 0
-    ).reshape(gh, gw * n_pix)
-    row_live = jnp.any(valid_rows, axis=1)  # (gh,)
-    lo = jnp.argmax(row_live).astype(I32)
-    hi = I32(gh - 1) - jnp.argmax(row_live[::-1]).astype(I32)
-    span = jnp.where(jnp.any(row_live), hi - lo + 1, I32(0))
-
-    clear = jnp.asarray(np.asarray(st.clear_color, dtype=F32))
-
-    def finish_band(b):
-        def go(_):
-            start = jnp.clip(lo, 0, gh - b)
-            sub = jax.lax.dynamic_slice(
-                planes, (start * gw, 0, 0), (b * gw, planes.shape[1], n_pix)
-            )
-            rgba = shade_tiles(sub)
-            if st.supersample == 1:
-                packed = shade.resolve_and_pack(jnp, rgba, 1, st.srgb_output)
-                band_img = to_image(packed, b)
-                canvas = shade.resolve_and_pack(
-                    jnp,
-                    jnp.broadcast_to(clear, (hpad, wpad, 4)),
-                    1,
-                    st.srgb_output,
-                )
-                img = jax.lax.dynamic_update_slice(
-                    canvas, band_img, (start * th, 0, 0)
-                )
-                return img[: cfg.height, : cfg.width]
-            band_img = to_image(rgba, b)
-            canvas = jnp.broadcast_to(clear, (hpad, wpad, 4))
-            img = jax.lax.dynamic_update_slice(
-                canvas, band_img, (start * th, 0, 0)
-            )
-            return shade.resolve_and_pack(
-                jnp, img[: cfg.height, : cfg.width],
-                st.supersample, st.srgb_output,
-            )
-
-        return go
-
-    case = sum((span > q).astype(I32) for q in band_tiers)
-    return jax.lax.switch(
-        case, [finish_band(q) for q in band_tiers] + [finish_dense], None
+    if st.supersample == 1:
+        # pack first (4 u8/px), relayout the small image
+        return to_image(shade.resolve_and_pack(jnp, rgba, 1, st.srgb_output))
+    return shade.resolve_and_pack(
+        jnp, to_image(rgba), st.supersample, st.srgb_output
     )
 
 
@@ -501,7 +484,7 @@ def sort_expand_table(statics, comb, keys, tile_row0=0,
         pair_starts=pair_starts, pair_base=0,
         wide_start=new_ws,
     )
-    live_end = bounds[n_tiles * binsort.N_GRP + 1]  # dead-run start
+    live_end = bounds[n_tiles * binsort.KEYS_PER_TILE + 1]  # dead-run start
     tbl_sorted = tritables.sorted_table_budgeted(comb, order, 256, live_end)
     n_pairs = pair_starts[-1]
     # ext gather budgeted like the main table: typical frames have 0-31k
@@ -512,7 +495,7 @@ def sort_expand_table(statics, comb, keys, tile_row0=0,
     tbl_ext = tritables.sorted_table_budgeted(
         comb, pair_rows, 256, n_pairs, fracs=(1 / 32, 1 / 4)
     )
-    ws = bounds[n_tiles * binsort.N_GRP]
+    ws = bounds[n_tiles * binsort.KEYS_PER_TILE]
     sstats = {
         # wide-run population counters (cheap scalars already computed):
         # n_wide = wide rows this frame, wide_pairs_n = expanded pair slots,

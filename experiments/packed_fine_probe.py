@@ -41,9 +41,11 @@ I32 = np.int32
 
 
 def force(x):
+    import jax as _jax
     import numpy as _np
 
-    return _np.asarray(x.ravel()[:4])
+    leaf = _jax.tree.leaves(x)[0]
+    return _np.asarray(leaf.ravel()[:4])
 
 
 def timeit(fn, reps=16):

@@ -533,17 +533,19 @@ def test_tritables_roundtrip():
 
 @pytest.mark.parametrize("yshift,ss", [(1.45, 1), (0.8, 1), (1.45, 2)])
 def test_shade_row_band_matches_dense_and_oracle(yshift, ss):
-    """Live-row band gating (pipeline._shade_from_planes): scenes whose
-    coverage spans a small/medium/full row band must produce frames
-    byte-equal to both the band-disabled dense path and the oracle, in
-    every switch branch (1/4 band, 1/2 band, dense) and under
+    """Band-gated quad-tap gather (pipeline._shade_from_planes): TEXTURED
+    scenes whose coverage spans a small/medium row band must produce
+    frames byte-equal to both the band-disabled dense path and the
+    oracle, in every switch branch (1/4 band, 1/2 band, dense) and under
     supersampling.  yshift pushes the scene toward the bottom rows (up is
     -Y): 1.45 -> narrow bottom band, 0.8 -> mid band."""
     import dataclasses
 
+    from ash_renderer_tpu import Material, mathx
     from ash_renderer_tpu.oracle import render_oracle
     from ash_renderer_tpu.pipeline import FrameStatics, render_frame_fused_jit
-    from ash_renderer_tpu import mathx
+    from ash_renderer_tpu.rtypes import MaterialsPack
+    from ash_renderer_tpu.textures import TextureAtlas, checkerboard
 
     rng = np.random.default_rng(23)
     nv, nt = 120, 160
@@ -554,8 +556,10 @@ def test_shade_row_band_matches_dense_and_oracle(yshift, ss):
         positions=pos,
         indices=rng.integers(0, nv, (nt, 3)).astype(np.int32),
         colors=rng.uniform(0, 1, (nv, 4)).astype(np.float32),
+        uvs=rng.uniform(0, 2, (nv, 2)).astype(np.float32),
     )
-    sc = Scene()
+    sc = Scene(materials=[Material(texture_id=0)])
+    sc.atlas = TextureAtlas.build([checkerboard(64)])
     sc.add_object(
         SceneObject(
             mesh=sc.add_mesh(mesh), model=mathx.translation([0, yshift, 0])
@@ -573,10 +577,16 @@ def test_shade_row_band_matches_dense_and_oracle(yshift, ss):
     proj = cam.projection_matrix(settings.width / settings.height)
     mm = sc.model_matrices()
     mvp = compose_mvp(mm, view, proj)
+    mats = MaterialsPack(
+        base_color=np.ones((1, 4), np.float32),
+        tex_id=np.zeros(1, np.int32),
+        specular=np.zeros(1, np.float32),
+        shininess=np.full(1, 32, np.int32),
+    )
 
     def run(st):
         statics = FrameStatics(
-            cfg=cfg, settings=st, has_materials=False, has_atlas=False,
+            cfg=cfg, settings=st, has_materials=True, has_atlas=True,
             has_light=False, interpret=True,
         )
         rgba8, aux = render_frame_fused_jit(
@@ -587,14 +597,17 @@ def test_shade_row_band_matches_dense_and_oracle(yshift, ss):
             jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
             jnp.asarray(mm), jnp.asarray(mvp),
             jnp.asarray(cam.position.astype(np.float32)),
-            None, None, None, jnp.asarray(packed.local_tri),
+            mats, sc.atlas, None, jnp.asarray(packed.local_tri),
         )
         return np.asarray(rgba8), aux
 
     banded, aux = run(settings)
     dense, _ = run(dataclasses.replace(settings, shade_row_band=False))
     np.testing.assert_array_equal(banded, dense)
-    o = render_oracle(packed, mm, view, proj, settings, cfg=cfg)
+    o = render_oracle(
+        packed, mm, view, proj, settings, materials=mats, atlas=sc.atlas,
+        cfg=cfg,
+    )
     assert int((o["vis_tri"] >= 0).sum()) > 200
     np.testing.assert_array_equal(banded, o["rgba8"])
     # the narrow scene must actually land in a BAND branch (span <= gh/2),
