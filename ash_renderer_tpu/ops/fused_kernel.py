@@ -676,32 +676,37 @@ def _kernel(
         # every tile; an empty fine run leaves the DEPTH_MAX/BG init in
         # accf_s and every merge is a no-op by the (d16, -id) key).
         # Window j's element (r, x) lives at accf[j, FINE_W*r + x] and
-        # belongs at screen lane FINE_W*j + x of acc row r.  One STRIDED
-        # roll per (screen row, value) shifts sublane j by
-        # FINE_W*(j - r) in a single op (shift -FINE_W*r, stride FINE_W
-        # along sublanes); 8 masked selects then pick sublane c//FINE_W
-        # per lane.
+        # belongs at screen lane FINE_W*j + x of acc row r — sublane j
+        # rolled by FINE_W*(j - r).  Precompute the 8 uniform block rolls
+        # U_k = roll(accf, FINE_W*k) once (k = (j - r) mod 8 selects the
+        # right one per pair); the STRIDED roll form that does this in
+        # one op per row mis-lowers on hardware (exact in interpret mode,
+        # wrong lanes on a real v5e — caught by the headline sha256 gate,
+        # minimal repro in the round-5 notes), so only uniform shifts are
+        # used here.
         accf_d = accf_s[0:N_FINE, :]
         accf_t = accf_s[N_FINE : 2 * N_FINE, :]
         winmask = [
             (colp // FINE_W) == I32(j) for j in range(N_FINE)
         ]
+        U_d = [
+            pltpu.roll(accf_d, (FINE_W * k) % TILE_W, 1)
+            for k in range(N_FINE)
+        ]
+        U_t = [
+            pltpu.roll(accf_t, (FINE_W * k) % TILE_W, 1)
+            for k in range(N_FINE)
+        ]
         for r in range(th):
-            sh = (-FINE_W * r) % TILE_W
-            rolled_d = pltpu.roll(
-                accf_d, sh, 1, stride=FINE_W, stride_axis=0
-            )
-            rolled_t = pltpu.roll(
-                accf_t, sh, 1, stride=FINE_W, stride_axis=0
-            )
             cand_d = jnp.full((1, TILE_W), sm.DEPTH_MAX, I32)
             cand_t = jnp.full((1, TILE_W), sm.BG_TRI, I32)
             for j in range(N_FINE):
+                k = (j - r) % N_FINE
                 cand_d = jnp.where(
-                    winmask[j], rolled_d[j : j + 1], cand_d
+                    winmask[j], U_d[k][j : j + 1], cand_d
                 )
                 cand_t = jnp.where(
-                    winmask[j], rolled_t[j : j + 1], cand_t
+                    winmask[j], U_t[k][j : j + 1], cand_t
                 )
             better = sm.depth_key_better(
                 cand_d, cand_t, acc_d[r], acc_t[r]

@@ -65,12 +65,25 @@ def main():
     rmeta, tbl, tbl_ext, _ss = plmod._fstage_sort(r.statics, comb, keys_main, keys_tail)
     force((rmeta, tbl))
 
-    # segment stats
-    rm = np.asarray(rmeta)[:-1].reshape(-1, 2)
-    lens = rm[:, 1] - rm[:, 0]
-    segs = np.sum(np.where(lens > 0, ((rm[:,1] - (rm[:,0]//8)*8) + 127)//128, 0))
-    print(f"ranges: {(lens>0).sum()} nonempty / {len(lens)}, "
-          f"slots: {lens.sum()}, segments/phase: {segs}", flush=True)
+    # segment stats (per range class: 0-4 coarse/wide, 5 ext-pairs, 6 fine)
+    nr = fused_kernel.N_RANGES
+    rm = np.asarray(rmeta)[: cfg.n_tiles * nr * 2].reshape(-1, nr, 2)
+    lens = rm[..., 1] - rm[..., 0]
+    segsf = np.where(
+        lens > 0, ((rm[..., 1] - (rm[..., 0] // 8) * 8) + 127) // 128, 0
+    )
+    for label, idx in (
+        ("own", [0]), ("nbr", [1, 2, 3]), ("wide", [4]), ("pairs", [5]),
+        ("fine", [6]),
+    ):
+        l = lens[:, idx]
+        print(
+            f"  {label:5s}: slots {int(l.sum()):8d}  nonempty "
+            f"{int((l > 0).sum()):6d}  segments {int(segsf[:, idx].sum()):6d}",
+            flush=True,
+        )
+    print(f"ranges total: slots {int(lens.sum())}, segments/phase "
+          f"{int(segsf.sum())}", flush=True)
 
     rm_zero = jnp.zeros_like(rmeta)
     tbl_zero = jnp.zeros_like(tbl)
@@ -85,7 +98,7 @@ def main():
             dt, _ = timeit(fnz, rm_, tb_)
             print(f"z rmeta={rlab} tbl={tlab}: {dt*1000:.1f} ms",
                   flush=True)
-    for ph in ("", "e", "vde"):
+    for ph in ("", "v", "vde"):
         fn = jax.jit(
             lambda rm_, tb_, ph=ph: fused_kernel.rasterize_distribute(
                 rm_, tb_, tbl_ext, cfg, phases=ph
