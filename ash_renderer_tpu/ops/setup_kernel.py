@@ -189,53 +189,75 @@ def _kernel(ltT_ref, matT_ref, tblT_ref, comb_ref, key_ref, flag_ref,
     area2 = jnp.where(valid, -sl, I32(1))
     inv_area2 = sm.recip_spec(area2.astype(F32), jnp)
 
-    # ---- assemble comb columns as rows of the (128, 128) scratch
+    # ---- meshlet-level cull (round 5): a meshlet with NO valid and NO
+    # clip-candidate triangle (back hemisphere, off-screen, degenerate)
+    # contributes nothing downstream — its rows get dead keys and are
+    # never streamed or gathered live — so the whole comb assembly +
+    # byte-plane transpose is skipped and the block zero-filled.  ~45% of
+    # the headline sphere's meshlets are back-facing; this is the coarse-
+    # grained analogue of the per-row skips that measured negative (one
+    # scalar cond per MESHLET ~ 10k/frame, not 96k/phase).  Zeroed rows
+    # differ from the XLA reference ONLY on never-streamed rows
+    # (tests/test_setup_kernel.py asserts exactly that split).
+    alive_any = jnp.any(valid | needs_clip)
+
     def zi(v):
         return jnp.where(valid, v, I32(0))
 
-    iab = sm._bitcast_i32(ia, jnp)
-    ibb = sm._bitcast_i32(ib, jnp)
-    icb = sm._bitcast_i32(ic, jnp)
-    ids = MESHLET_TRIS * m + jax.lax.broadcasted_iota(
-        I32, (1, MESHLET_TRIS), 1
-    )
-    # winding rewind 0,2,1 (geometry._finish_tri): corner order (a, c, b).
-    # Coords are zeroed BEFORE the +off pack (matching _finish_tri's
-    # field-level zeroing feeding build_comb_table's pack16).
-    rows = [
-        (zi(xa) + off) | ((zi(ya) + off) << 16),
-        (zi(xc) + off) | ((zi(yc) + off) << 16),
-        (zi(xb) + off) | ((zi(yb) + off) << 16),
-        zi(za | (zc << 16)),
-        zi(zb),
-        zi(sm._bitcast_i32(inv_area2, jnp)),
-        zi(iab), zi(icb), zi(ibb),
-        zi(matT_ref[0]),
-    ]
-    fs[...] = jnp.zeros((TBL_COLS, MESHLET_TRIS), I32)
-    for r, v in enumerate(rows):
-        fs[r : r + 1, :] = v
-    # attr corners in rewound order: v0 = a, v1 = c, v2 = b.  NOT masked by
-    # validity — the reference meshlet path gathers attrs unconditionally
-    # (tritables.build_comb_table) and invalid rows are never streamed.
-    fs[10:22, :] = attr_a
-    fs[22:34, :] = attr_c
-    fs[34:46, :] = attr_b
-    fs[ID_COL : ID_COL + 1, :] = ids
+    @pl.when(alive_any)
+    def _():
+        # ---- assemble comb columns as rows of the (128, 128) scratch
+        iab = sm._bitcast_i32(ia, jnp)
+        ibb = sm._bitcast_i32(ib, jnp)
+        icb = sm._bitcast_i32(ic, jnp)
+        ids = MESHLET_TRIS * m + jax.lax.broadcasted_iota(
+            I32, (1, MESHLET_TRIS), 1
+        )
+        # winding rewind 0,2,1 (geometry._finish_tri): corner order
+        # (a, c, b).  Coords are zeroed BEFORE the +off pack (matching
+        # _finish_tri's field-level zeroing feeding build_comb_table's
+        # pack16).
+        rows = [
+            (zi(xa) + off) | ((zi(ya) + off) << 16),
+            (zi(xc) + off) | ((zi(yc) + off) << 16),
+            (zi(xb) + off) | ((zi(yb) + off) << 16),
+            zi(za | (zc << 16)),
+            zi(zb),
+            zi(sm._bitcast_i32(inv_area2, jnp)),
+            zi(iab), zi(icb), zi(ibb),
+            zi(matT_ref[0]),
+        ]
+        fs[...] = jnp.zeros((TBL_COLS, MESHLET_TRIS), I32)
+        for r, v in enumerate(rows):
+            fs[r : r + 1, :] = v
+        # attr corners in rewound order: v0 = a, v1 = c, v2 = b.  NOT
+        # masked by validity — the reference meshlet path gathers attrs
+        # unconditionally (tritables.build_comb_table) and invalid rows
+        # are never streamed.
+        fs[10:22, :] = attr_a
+        fs[22:34, :] = attr_c
+        fs[34:46, :] = attr_b
+        fs[ID_COL : ID_COL + 1, :] = ids
 
-    # ---- exact byte-plane transpose (cols, tris) -> (tris, cols)
-    s = fs[...]
-    eye = (
-        jax.lax.broadcasted_iota(I32, (TBL_COLS, TBL_COLS), 0)
-        == jax.lax.broadcasted_iota(I32, (TBL_COLS, TBL_COLS), 1)
-    ).astype(I8)
-    dt = (((0,), (0,)), ((), ()))
-    out = jnp.zeros((MESHLET_TRIS, TBL_COLS), I32)
-    for k in range(4):
-        bk = ((s >> (8 * k)) & 255).astype(I8)
-        tk = jax.lax.dot_general(bk, eye, dt, preferred_element_type=I32)
-        out = out | (((tk & 255) << (8 * k)) if k < 3 else (tk << 24))
-    comb_ref[...] = out
+        # ---- exact byte-plane transpose (cols, tris) -> (tris, cols)
+        s = fs[...]
+        eye = (
+            jax.lax.broadcasted_iota(I32, (TBL_COLS, TBL_COLS), 0)
+            == jax.lax.broadcasted_iota(I32, (TBL_COLS, TBL_COLS), 1)
+        ).astype(I8)
+        dt = (((0,), (0,)), ((), ()))
+        out = jnp.zeros((MESHLET_TRIS, TBL_COLS), I32)
+        for k in range(4):
+            bk = ((s >> (8 * k)) & 255).astype(I8)
+            tk = jax.lax.dot_general(
+                bk, eye, dt, preferred_element_type=I32
+            )
+            out = out | (((tk & 255) << (8 * k)) if k < 3 else (tk << 24))
+        comb_ref[...] = out
+
+    @pl.when(jnp.logical_not(alive_any))
+    def _():
+        comb_ref[...] = jnp.zeros((MESHLET_TRIS, TBL_COLS), I32)
 
     # ---- bin_sort streaming key (ops/binsort.stream_keys formulas)
     half = ss // 2

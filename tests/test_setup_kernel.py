@@ -92,13 +92,28 @@ def test_setup_kernel_matches_xla_path(seed, spread):
     if spread > 4:  # the wide scene must exercise the clip path
         assert int(((flags_k >> 1) & 1).sum()) > 0
     np.testing.assert_array_equal(flags_k & 1, np.asarray(su.valid)[:t])
-    # full-row equality on real triangles; padding rows (tri_v < 0) differ
-    # only in attr cols (ref gathers vertex-0 attrs there, kernel zeros —
-    # both dead: padding rows are never streamed)
-    real = packed.tri_v[:, 0] >= 0
+    # full-row equality on real triangles of ALIVE meshlets; rows of DEAD
+    # meshlets (no valid and no clip-candidate triangle) are zero-filled
+    # by the meshlet-level cull, and padding rows (tri_v < 0) differ only
+    # in attr cols (ref gathers vertex-0 attrs there) — all of those are
+    # never streamed or gathered live, so frame bits are unaffected (the
+    # fused-vs-oracle suite pins that end-to-end)
+    from ash_renderer_tpu.scene import MESHLET_TRIS
+
+    m = t // MESHLET_TRIS
+    alive_m = (
+        (flags_k.reshape(m, MESHLET_TRIS) & 3).any(axis=1)
+    )
+    alive_rows = np.repeat(alive_m, MESHLET_TRIS)
+    real = (packed.tri_v[:, 0] >= 0) & alive_rows
     np.testing.assert_array_equal(comb_k[real], comb_ref[:t][real])
-    np.testing.assert_array_equal(comb_k[:, :10], comb_ref[:t, :10])
-    np.testing.assert_array_equal(comb_k[:, 46:], comb_ref[:t, 46:])
+    assert not comb_k[~alive_rows].any(), "dead meshlets must zero-fill"
+    np.testing.assert_array_equal(
+        comb_k[alive_rows][:, :10], comb_ref[:t][alive_rows][:, :10]
+    )
+    np.testing.assert_array_equal(
+        comb_k[alive_rows][:, 46:], comb_ref[:t][alive_rows][:, 46:]
+    )
     np.testing.assert_array_equal(np.asarray(keys_k), keys_ref[:t])
     assert int(gstats["n_fast"]) == int(((flags_k >> 2) & 1).sum())
 
