@@ -401,6 +401,28 @@ def main():
             f"ms/frame = {orbit_const_fps:.2f} FPS"
         )
 
+        # uncached static control: the same static pose with the front-
+        # coherence cache disabled = the per-frame cost when NO temporal
+        # reuse is possible.  The orbit number should sit at ~this rate;
+        # orbit far below it would indicate a real motion regression
+        # (the honest baseline the orbit/static ratio must be read
+        # against — static benefits from bit-exact reuse by design).
+        saved_cache = r._front_cache
+        r._front_cache = None
+        r.render_frame(cam)
+        t0 = time.time()
+        for _ in range(20):
+            rgba8_u, _ = r.render_frame(cam)
+        force(rgba8_u)
+        udt = (time.time() - t0) / 20
+        r._front_cache = saved_cache
+        result_uncached = 1.0 / udt
+        log(
+            f"static pose, front cache disabled: {udt*1000:.1f} ms/frame "
+            f"= {result_uncached:.2f} FPS (orbit at "
+            f"{100*orbit_const_fps/result_uncached:.0f}% of it)"
+        )
+
         # staleness canary: a static frame rendered AFTER the moving
         # sequences must still byte-equal the golden (guards any frame-
         # coherence caching against serving stale state)
@@ -427,6 +449,7 @@ def main():
         result["moving_camera_fps"] = round(orbit_fps, 3)
     if orbit_const_fps is not None:
         result["orbit_camera_fps"] = round(orbit_const_fps, 3)
+        result["static_uncached_fps"] = round(result_uncached, 3)
     print(json.dumps(result))
 
 
