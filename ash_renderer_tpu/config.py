@@ -90,6 +90,19 @@ class RendererSettings:
     # they replace), while untextured scenes drop the whole XLA shade pass.
     # "on"/"off" force it (within the M<=16/T<=2 select-tree caps).
     fused_surface_shade: str = "auto"
+    # Raster-kernel range streaming form: True = the tbl-sourced ranges
+    # share ONE traced-index streaming/eval body (program ~3x smaller ->
+    # much faster XLA compile: fresh-compile warmup 812 s -> 53 s at the
+    # headline, useful when iterating on kernel shapes); False (default) =
+    # one static instantiation per range — measured ~2 FPS faster steady
+    # state at the headline (37.1-37.3 vs 35.1 clean-host runs).  The
+    # per-process device-load term the loop form was meant to shrink
+    # measured 46-812 s for the SAME cached program across runs on this
+    # container's remote tunnel — dominated by tunnel/server state, not
+    # program size — so runtime wins the default.  Bit-identical either
+    # way (phase V's reduction and phase D's disjoint one-hot
+    # accumulation are order-independent; both gated EXACT on hardware).
+    kernel_range_loop: bool = False
     # Fused-kernel framebuffer tile height (4 or 8).  8 is the default;
     # 4 halves the pixel rows each streamed slot evaluates (phase V work)
     # at the cost of 2x grid steps and slightly more spill/wide rows —

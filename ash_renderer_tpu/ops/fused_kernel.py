@@ -380,6 +380,7 @@ def _kernel(
     seg: int = TILE_W,
     shade_mode=None,
     packed_fine: bool = True,
+    range_loop: bool = True,
 ):
     t = pl.program_id(0)
     th = cfg.tile_h  # 8 (default) or 4; lanes are always the 128 columns
@@ -445,10 +446,36 @@ def _kernel(
     ]
 
     def prefetch_first_windows():
-        for i in range(N_RANGES):
+        # tbl-sourced ranges 0-4 share ONE traced-index DMA body (program
+        # size = per-shape device load on this backend; the unrolled form
+        # carried 7 copies of everything)
+        def pf_tbl(i, _):
+            rs, re = range_scalars(i)
+            ab0 = pl.multiple_of((rs // 8) * 8, 8)
+
+            @pl.when(re > rs)
+            def _():
+                start_seg_tbl(i, ab0)
+
+            return 0
+
+        jax.lax.fori_loop(0, EXT_RANGE, pf_tbl, 0)
+        for i in (EXT_RANGE, FINE_RANGE):
             @pl.when(nsws[i] > 0)
             def _(i=i):
                 start_seg(i, ab0s[i])
+
+    def start_seg_tbl(i, ab):
+        # traced range index, tbl source (validated on hardware:
+        # experiments dynamic .at[i] DMA probe)
+        pltpu.make_async_copy(
+            tbl_ref.at[pl.ds(ab, seg), :], tbl_bufs.at[i], sems.at[i]
+        ).start()
+
+    def wait_seg_tbl(i, ab):
+        pltpu.make_async_copy(
+            tbl_ref.at[pl.ds(ab, seg), :], tbl_bufs.at[i], sems.at[i]
+        ).wait()
 
     def unpack16(p):
         return ((p & 0xFFFF) + min_c), (((p >> 16) & 0xFFFF) + min_c)
@@ -506,18 +533,26 @@ def _kernel(
 
     if "v" in phases:
         prefetch_first_windows()
-    v_coarse = [
-        i for i in range(N_RANGES) if not (packed_fine and i == FINE_RANGE)
-    ]
-    for rng_i in (v_coarse if "v" in phases else []):
-        rs, re = rr[rng_i]
-        ab0 = ab0s[rng_i]
-        nsw = nsws[rng_i]
 
-        def sw_body(w, acc, i=rng_i, rs=rs, re=re, ab0=ab0, nsw=nsw):
+    def stream_range_v(i, acc, from_ext: bool):
+        """Stream one range through the coarse eval.  ``i`` may be a
+        TRACED index for tbl-sourced ranges — ranges 0-4 (and 6 when the
+        packed path is off) run through ONE instantiation of this body
+        via an outer fori_loop (the per-range unroll carried ~6 copies of
+        the whole eval, and per-shape device load is program-size-bound
+        on this backend).  The ext range keeps its own static copy."""
+        rs, re = range_scalars(i)
+        ab0 = pl.multiple_of((rs // 8) * 8, 8)
+        nsw = jnp.where(re > rs, -(-(re - ab0) // seg), 0)
+
+        def sw_body(w, acc):
             ab = pl.multiple_of(ab0 + w * seg, 8)
-            wait_seg(i, ab)
-            blk = tbl_bufs[i]
+            if from_ext:
+                wait_seg(EXT_RANGE, ab)
+                blk = tbl_bufs[EXT_RANGE]
+            else:
+                wait_seg_tbl(i, ab)
+                blk = tbl_bufs[i]
             vcol = (subl >= rs - ab) & (subl < re - ab)
             recs_s[:, 0:6] = jnp.where(vcol, blk[:, 0:6], I32(0))
             recs_s[:, 6:7] = jnp.where(
@@ -527,7 +562,10 @@ def _kernel(
             # the block now lives in recs_s — overlap the next window's DMA
             @pl.when(w + 1 < nsw)
             def _():
-                start_seg(i, pl.multiple_of(ab + seg, 8))
+                if from_ext:
+                    start_seg(EXT_RANGE, pl.multiple_of(ab + seg, 8))
+                else:
+                    start_seg_tbl(i, pl.multiple_of(ab + seg, 8))
 
             g0 = jnp.maximum(rs - ab, 0) // GRP_T
             ng = -(-jnp.minimum(re - ab, seg) // GRP_T)
@@ -543,7 +581,30 @@ def _kernel(
 
             return jax.lax.fori_loop(g0, ng, grp_body, acc)
 
-        acc = jax.lax.fori_loop(0, nsw, sw_body, acc)
+        return jax.lax.fori_loop(0, nsw, sw_body, acc)
+
+    if "v" in phases:
+        v_tbl = list(range(EXT_RANGE)) + (
+            [] if packed_fine else [FINE_RANGE]
+        )
+        if range_loop:
+            acc = jax.lax.fori_loop(
+                0, len(v_tbl),
+                lambda k, a: stream_range_v(
+                    jnp.where(k == EXT_RANGE, I32(FINE_RANGE), k)
+                    if not packed_fine else k,
+                    a, False,
+                ),
+                acc,
+            )
+        else:
+            # unrolled A/B variant: static instantiation per range
+            # (bigger program -> slower per-shape device load; possibly
+            # faster steady state — the traced-index form pays some
+            # per-segment indexing overhead)
+            for i in v_tbl:
+                acc = stream_range_v(i, acc, False)
+        acc = stream_range_v(EXT_RANGE, acc, True)
 
     acc_d = list(acc[:th])
     acc_t = list(acc[th:])
@@ -736,21 +797,31 @@ def _kernel(
 
     dn = (((0,), (0,)), ((), ()))  # contract over slots (transposed lhs)
 
-    if "d" in phases:
-        prefetch_first_windows()
-    for rng_i in range(N_RANGES if "d" in phases else 0):
-        rs, re = rr[rng_i]
-        ab0 = ab0s[rng_i]
-        nsw = nsws[rng_i]
+    def stream_range_d(i, from_ext: bool):
+        """Phase D for one range; ``i`` may be traced for tbl-sourced
+        ranges (0-4 and 6 share one instantiation via the outer fori
+        below — the distribute accumulation is a sum of DISJOINT one-hot
+        contributions, each pixel matched by at most one slot across all
+        ranges, so any range order produces identical integers)."""
+        rs, re = range_scalars(i)
+        ab0 = pl.multiple_of((rs // 8) * 8, 8)
+        nsw = jnp.where(re > rs, -(-(re - ab0) // seg), 0)
 
-        def swd_body(w, _, i=rng_i, rs=rs, re=re, ab0=ab0, nsw=nsw):
+        def swd_body(w, _):
             ab = pl.multiple_of(ab0 + w * seg, 8)
-            wait_seg(i, ab)
-            work_blk[...] = tbl_bufs[i]
+            if from_ext:
+                wait_seg(EXT_RANGE, ab)
+                work_blk[...] = tbl_bufs[EXT_RANGE]
+            else:
+                wait_seg_tbl(i, ab)
+                work_blk[...] = tbl_bufs[i]
 
             @pl.when(w + 1 < nsw)
             def _():
-                start_seg(i, pl.multiple_of(ab + seg, 8))
+                if from_ext:
+                    start_seg(EXT_RANGE, pl.multiple_of(ab + seg, 8))
+                else:
+                    start_seg_tbl(i, pl.multiple_of(ab + seg, 8))
 
             blk = work_blk[:]
             vcol = (subl >= rs - ab) & (subl < re - ab)
@@ -784,6 +855,23 @@ def _kernel(
             return 0
 
         jax.lax.fori_loop(0, nsw, swd_body, 0)
+        return 0
+
+    if "d" in phases:
+        prefetch_first_windows()
+        if range_loop:
+            # tbl-sourced ranges {0..4, 6} through ONE body (k=5 -> 6)
+            jax.lax.fori_loop(
+                0, EXT_RANGE + 1,
+                lambda k, _: stream_range_d(
+                    jnp.where(k == EXT_RANGE, I32(FINE_RANGE), k), False
+                ),
+                0,
+            )
+        else:
+            for i in list(range(EXT_RANGE)) + [FINE_RANGE]:
+                stream_range_d(i, False)
+        stream_range_d(EXT_RANGE, True)
 
     o = (
         (out_p0[0:COMB_USED, :] & 255)
@@ -866,7 +954,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "cfg", "interpret", "tile_rows", "phases", "seg", "shade_mode",
-        "packed_fine",
+        "packed_fine", "range_loop",
     ),
 )
 def rasterize_distribute(
@@ -880,6 +968,7 @@ def rasterize_distribute(
     seg: int = TILE_W,
     shade_mode=None,
     packed_fine: bool = True,
+    range_loop: bool = True,
     materials=None,
     atlas=None,
     light=None,
@@ -998,6 +1087,7 @@ def rasterize_distribute(
         functools.partial(
             _kernel, cfg=cfg, gw=gw, n_tiles=n_tiles, phases=phases,
             seg=seg, shade_mode=shade_mode, packed_fine=packed_fine,
+            range_loop=range_loop,
         ),
         out_shape=out_shape,
         grid_spec=grid_spec,

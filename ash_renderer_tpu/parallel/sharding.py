@@ -148,7 +148,7 @@ def _slab_pipeline_fused(
     )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret,
-        tile_rows=rows_per,
+        tile_rows=rows_per, range_loop=st.kernel_range_loop,
         shade_mode=plmod.shade_mode_for(
             statics,
             materials if statics.has_materials else None,

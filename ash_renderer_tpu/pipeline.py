@@ -378,6 +378,7 @@ def render_frame_fused(
     )
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret,
+        range_loop=st.kernel_range_loop,
         shade_mode=shade_mode_for(
             statics,
             materials if statics.has_materials else None,
@@ -647,6 +648,7 @@ def render_frame_fused_staged(
         stats = {**gstats, **sstats}
     vis_d, vis_t, planes = fused_kernel.rasterize_distribute(
         rmeta, tbl_sorted, tbl_ext, cfg, interpret=statics.interpret,
+        range_loop=st.kernel_range_loop,
         shade_mode=shade_mode_for(
             statics,
             materials if statics.has_materials else None,
