@@ -268,9 +268,10 @@ def _phase_f(planes_ref, rmeta_ref, attr, duv, mat_row, *, cfg, n_tiles,
     planes_ref[0, F_TEXMASK + 1 : VIS_ROW, :] = jnp.zeros(
         (VIS_ROW - F_TEXMASK - 1, n_pix), I32
     )
-PLANE_ROWS = 64  # distribute accumulator rows (COMB_USED=48 consumed,
-                 # rounded to the 8x(8,128) vreg tile; was TBL_COLS=128 —
-                 # the extra 64 rows cost a full zero-fill + matmul pass)
+PLANE_ROWS = 48  # distribute accumulator rows = COMB_USED exactly (8-
+                 # sublane aligned; was TBL_COLS=128, then 64 — every
+                 # extra row block costs a zero-fill + matmul pass per
+                 # matched segment in phase D)
 
 
 def build_range_meta(bounds, n_tiles: int, gw: int, tile_row0=0,
