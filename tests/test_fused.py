@@ -618,3 +618,58 @@ def test_shade_row_band_matches_dense_and_oracle(yshift, ss):
     span_tiles = rows.max() // cfg.tile_h - rows.min() // cfg.tile_h + 1
     if yshift > 1.0:
         assert span_tiles <= -(-gh // 4), span_tiles
+
+
+def test_fused_graze_regime_matches_oracle():
+    """The bench fly-by's closest-approach regime — camera just outside a
+    unit sphere — drives live Sutherland-Hodgman clip fans, wide keys with
+    the pair-expansion ext table, AND the packed fine stream in one frame;
+    the fused device path must equal the oracle bit-for-bit on it (the
+    moving-camera machinery otherwise has no direct oracle pin)."""
+    from ash_renderer_tpu import mathx
+    from ash_renderer_tpu.models import icosphere
+    from ash_renderer_tpu.oracle import render_oracle
+    from ash_renderer_tpu.pipeline import FrameStatics, render_frame_fused_jit
+
+    sc = Scene()
+    sc.add_object(
+        SceneObject(
+            mesh=sc.add_mesh(icosphere(2)),
+            model=mathx.translation([0, 0, 1.02]),
+        )
+    )
+    settings = RendererSettings(
+        width=192, height=128, clip_budget=512,
+        wide_rows=1 << 10, wide_pairs=1 << 13,
+    )
+    cam = Camera()
+    packed = sc.pack(meshlets=True)
+    cfg = derive_raster_config(192, 128, tile_h=8)
+    view = cam.view_matrix()
+    proj = cam.projection_matrix(192 / 128)
+    mm = sc.model_matrices()
+    mvp = compose_mvp(mm, view, proj)
+    statics = FrameStatics(
+        cfg=cfg, settings=settings, has_materials=False, has_atlas=False,
+        has_light=False, interpret=True,
+    )
+    fused, aux = render_frame_fused_jit(
+        statics,
+        jnp.asarray(packed.positions), jnp.asarray(packed.vert_obj),
+        jnp.asarray(packed.normals), jnp.asarray(packed.colors),
+        jnp.asarray(packed.uvs), jnp.asarray(packed.tri_v),
+        jnp.asarray(packed.tri_obj), jnp.asarray(packed.obj_material),
+        jnp.asarray(mm), jnp.asarray(mvp),
+        jnp.asarray(cam.position.astype(np.float32)),
+        None, None, None, jnp.asarray(packed.local_tri),
+    )
+    # the regime actually ran the paths under test
+    assert int(np.asarray(aux["n_clipped"])) > 0
+    assert int(np.asarray(aux["n_wide"])) > 0
+    assert int(np.asarray(aux["wide_pairs_n"])) > 0
+    assert int(np.asarray(aux["wide_leftover"])) == 0
+    assert int(np.asarray(aux["clip_overflow"])) == 0
+    o = render_oracle(packed, mm, view, proj, settings, cfg=cfg)
+    assert int((o["vis_tri"] >= 0).sum()) > 2000
+    np.testing.assert_array_equal(np.asarray(aux["vis_tri"]), o["vis_tri"])
+    np.testing.assert_array_equal(np.asarray(fused), o["rgba8"])
